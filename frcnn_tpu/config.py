@@ -1,0 +1,274 @@
+"""Experiment configuration.
+
+Mirrors the three config axes of the reference (run flags / experiment config
+/ model factory — see reference ``main.lua:18-47`` and ``config/*.lua``) as
+frozen dataclasses, plus the static-shape knobs a fixed-shape TPU build needs
+(the reference uses dynamic host-side lists everywhere; XLA requires fixed
+shapes, so maximum counts + masks are first-class configuration here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class NormalizationConfig:
+    """Input normalization (reference ``config/duplo.lua:6``)."""
+
+    method: str = "contrastive"  # 'contrastive' | 'none'
+    width: int = 7               # gaussian kernel width for contrastive norm
+    centering: bool = True       # per-channel mean subtraction
+    scaling: bool = True         # per-channel std division
+
+
+@dataclass(frozen=True)
+class AugmentationConfig:
+    """Data augmentation probabilities (reference ``config/duplo.lua:7``)."""
+
+    vflip: float = 0.0
+    hflip: float = 0.0
+    random_scaling: float = 0.0
+    aspect_jitter: float = 0.0
+
+
+@dataclass(frozen=True)
+class RoiPoolingConfig:
+    """Adaptive max-pool output grid (reference ``config/duplo.lua:9``)."""
+
+    kw: int = 6
+    kh: int = 6
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    """One conv block of the backbone: ``conv_steps`` conv+PReLU layers
+    followed by a ceil-mode 2x2/2 max-pool (reference
+    ``models/model_utilities.lua:17-25``, ``models/vgg_small.lua:5-10``)."""
+
+    filters: int
+    kW: int = 3
+    kH: int = 3
+    padW: int = 1
+    padH: int = 1
+    dropout: float = 0.0
+    conv_steps: int = 1
+
+
+@dataclass(frozen=True)
+class AnchorNetSpec:
+    """One anchor head: conv(kW x kW -> n) + PReLU + 1x1 conv -> 18 channels
+    (3 aspects x (2 cls + 4 reg)); attaches to backbone block ``input``
+    (1-based like the reference, ``models/vgg_small.lua:12-17``)."""
+
+    kW: int
+    n: int
+    input: int
+
+
+@dataclass(frozen=True)
+class ClassLayerSpec:
+    """One hidden layer of the classifier head
+    (reference ``models/model_utilities.lua:76-92``)."""
+
+    n: int
+    dropout: float = 0.0
+    batch_norm: bool = False
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Declarative model architecture (reference model factory files)."""
+
+    name: str = "vgg_small"
+    layers: Tuple[LayerSpec, ...] = ()
+    anchor_nets: Tuple[AnchorNetSpec, ...] = ()
+    class_layers: Tuple[ClassLayerSpec, ...] = ()
+    anchor_net_filters_cls: int = 256  # 'n' inside AnchorNetwork
+
+
+def vgg_small_model() -> ModelConfig:
+    """Reference ``models/vgg_small.lua:3-24``."""
+    return ModelConfig(
+        name="vgg_small",
+        layers=(
+            LayerSpec(filters=64, dropout=0.0, conv_steps=1),
+            LayerSpec(filters=128, dropout=0.4, conv_steps=2),
+            LayerSpec(filters=256, dropout=0.4, conv_steps=2),
+            LayerSpec(filters=384, dropout=0.4, conv_steps=2),
+        ),
+        anchor_nets=(
+            AnchorNetSpec(kW=3, n=256, input=3),
+            AnchorNetSpec(kW=3, n=256, input=4),
+            AnchorNetSpec(kW=5, n=256, input=4),
+            AnchorNetSpec(kW=7, n=256, input=4),
+        ),
+        class_layers=(
+            ClassLayerSpec(n=1024, dropout=0.5, batch_norm=True),
+            ClassLayerSpec(n=512, dropout=0.5),
+        ),
+    )
+
+
+def vgg_large_model() -> ModelConfig:
+    """Reference ``models/vgg_large.lua:3-24``."""
+    return ModelConfig(
+        name="vgg_large",
+        layers=(
+            LayerSpec(filters=64, dropout=0.0, conv_steps=2),
+            LayerSpec(filters=128, dropout=0.4, conv_steps=2),
+            LayerSpec(filters=256, dropout=0.4, conv_steps=3),
+            LayerSpec(filters=512, dropout=0.4, conv_steps=3),
+        ),
+        anchor_nets=(
+            AnchorNetSpec(kW=3, n=256, input=3),
+            AnchorNetSpec(kW=3, n=256, input=4),
+            AnchorNetSpec(kW=5, n=256, input=4),
+            AnchorNetSpec(kW=7, n=256, input=4),
+        ),
+        class_layers=(
+            ClassLayerSpec(n=1024, dropout=0.5, batch_norm=True),
+            ClassLayerSpec(n=512, dropout=0.5),
+        ),
+    )
+
+
+@dataclass(frozen=True)
+class StaticShapeConfig:
+    """Fixed-shape envelope for XLA compilation.
+
+    The reference keeps dynamic Lua lists of positives/negatives/proposals
+    (``BatchIterator.lua:247``, ``Detector.lua:59``); on TPU every such list
+    becomes a padded tensor with a validity mask. These are the pad sizes.
+    """
+
+    # Input image bucket after resize (H, W). Images are letterbox-padded
+    # (bottom/right) to this size; the true (h, w) travels alongside.
+    image_hw: Tuple[int, int] = (450, 800)
+    # Images per train step (the reference instead accumulates images until
+    # >= batch_size anchor examples are collected, main driver of its
+    # variable step composition; we fix the image count and keep the loss
+    # normalization by *real* example counts, preserving loss semantics).
+    images_per_step: int = 8
+    max_gt: int = 32            # ground-truth boxes per image
+    max_positives: int = 96     # positive anchor examples per image
+    max_negatives: int = 32     # random negative examples per image (>=16 used)
+    max_nearby: int = 96        # nearby-aversion negatives per image
+    # Detection-time caps
+    max_proposals: int = 512    # proposals entering first NMS
+    max_detections: int = 128   # survivors entering the classifier head
+
+    @property
+    def max_roi_examples(self) -> int:
+        return self.max_positives + self.max_negatives + self.max_nearby
+
+
+@dataclass(frozen=True)
+class Config:
+    """Experiment config, superset of the reference's ``config/*.lua`` schema."""
+
+    class_count: int = 16            # excluding background
+    target_smaller_side: int = 450
+    scales: Tuple[int, ...] = (32, 64, 128, 256)
+    max_pixel_size: int = 1000
+    normalization: NormalizationConfig = field(default_factory=NormalizationConfig)
+    augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
+    color_space: str = "yuv"         # 'rgb' | 'yuv' | 'lab' | 'hsv'
+    roi_pooling: RoiPoolingConfig = field(default_factory=RoiPoolingConfig)
+    examples_base_path: str = ""
+    background_base_path: str = ""
+    batch_size: int = 256            # target anchor examples per step (advisory)
+    positive_threshold: float = 0.5
+    negative_threshold: float = 0.25
+    best_match: bool = True
+    nearby_aversion: bool = True
+
+    model: ModelConfig = field(default_factory=vgg_small_model)
+    shapes: StaticShapeConfig = field(default_factory=StaticShapeConfig)
+
+    # Training schedule (reference main.lua:126-135; note: the reference's
+    # lr halving writes `rmsprop_state.lr` while the optimizer reads
+    # `learningRate`, so it silently runs at constant lr.  We implement the
+    # *intended* halve-every-5k schedule; set lr_schedule='constant' for
+    # bug-compatible behavior).
+    learning_rate: float = 1e-4
+    rms_decay: float = 0.9
+    optimizer: str = "rmsprop"       # 'rmsprop' | 'sgd' | 'nag'
+    lr_schedule: str = "halve5k"     # 'halve5k' | 'constant'
+    total_steps: int = 50_000
+    snapshot_interval: int = 1000
+    plot_interval: int = 100
+    seed: int = 0
+
+    # Numerics: compute dtype of conv/matmul paths ('bfloat16' for speed on
+    # MXU, 'float32' for strict parity testing). Params are always fp32.
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def num_classes_with_bg(self) -> int:
+        return self.class_count + 1
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        d["normalization"] = NormalizationConfig(**d["normalization"])
+        d["augmentation"] = AugmentationConfig(**d["augmentation"])
+        d["roi_pooling"] = RoiPoolingConfig(**d["roi_pooling"])
+        m = d["model"]
+        m["layers"] = tuple(LayerSpec(**x) for x in m["layers"])
+        m["anchor_nets"] = tuple(AnchorNetSpec(**x) for x in m["anchor_nets"])
+        m["class_layers"] = tuple(ClassLayerSpec(**x) for x in m["class_layers"])
+        d["model"] = ModelConfig(**m)
+        d["shapes"] = StaticShapeConfig(
+            **{**d["shapes"], "image_hw": tuple(d["shapes"]["image_hw"])}
+        )
+        d["scales"] = tuple(d["scales"])
+        return Config(**d)
+
+
+def duplo_config(**overrides) -> Config:
+    """Reference ``config/duplo.lua``: 16 classes, scales {32,64,128,256},
+    450/1000 px, yuv, 6x6 ROI grid, thresholds 0.5/0.25."""
+    cfg = Config(
+        class_count=16,
+        target_smaller_side=450,
+        scales=(32, 64, 128, 256),
+        max_pixel_size=1000,
+        augmentation=AugmentationConfig(vflip=0.5, hflip=0.5),
+        batch_size=256,
+        positive_threshold=0.5,
+        negative_threshold=0.25,
+        model=vgg_small_model(),
+        shapes=StaticShapeConfig(image_hw=(450, 800)),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def imagenet_config(**overrides) -> Config:
+    """Reference ``config/imagenet.lua``: 200 classes, scales {48,96,192,384},
+    480 px, thresholds 0.6/0.25."""
+    cfg = Config(
+        class_count=200,
+        target_smaller_side=480,
+        scales=(48, 96, 192, 384),
+        max_pixel_size=1000,
+        augmentation=AugmentationConfig(vflip=0.0, hflip=0.25),
+        batch_size=300,
+        positive_threshold=0.6,
+        negative_threshold=0.25,
+        model=vgg_large_model(),
+        shapes=StaticShapeConfig(image_hw=(480, 854)),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+CONFIGS = {"duplo": duplo_config, "imagenet": imagenet_config}

@@ -1,0 +1,346 @@
+"""Host-side input pipeline: decode, resize, augment, pad to fixed shapes.
+
+Replaces ``BatchIterator.lua``. Division of labor (TPU-first):
+
+* host (this module): JPEG/PNG decode, color-space conversion, aspect-kept
+  resize (``find_target_size``, ``utilities.lua:188-203``), random
+  scaling/crop/flips (``BatchIterator.lua:101-140``), ROI transforms in
+  lockstep, padding to the fixed image bucket, GT padding;
+* device (train step / detect fn): per-channel centering/scaling and the
+  contrastive luminance normalization (``BatchIterator.lua:142-161``) —
+  masked to the true image region — plus ALL anchor labeling (the
+  reference's host ``findPositive``/``sampleNegative`` loops,
+  ``BatchIterator.lua:198-225``).
+
+Epoch behavior mirrors the reference: independent shuffled orders for
+training/validation/background lists, reshuffled when exhausted
+(``randomize_order``/``next_entry``, ``BatchIterator.lua:7-25``). Fault
+tolerance mirrors ``pcall`` decode guards: corrupt files are skipped and
+logged (``BatchIterator.lua:177-196``).
+
+Fixed-shape divergence (documented): the reference accumulates images until
+>= cfg.batch_size anchor examples are gathered (variable image count per
+step, ``BatchIterator.lua:272-274``); here each step carries a fixed
+``images_per_step`` slots, the first one a background image when background
+files exist (the reference adds one per batch too, ``BatchIterator.lua:252-270``).
+Loss normalization uses true example counts, preserving loss semantics.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from frcnn_tpu.config import Config
+from frcnn_tpu.data.importers import load_manifest
+from frcnn_tpu.ops.color import convert_color
+from frcnn_tpu.train.objective import TrainBatch
+
+log = logging.getLogger("frcnn_tpu.data")
+
+
+def find_target_size(orig_w: int, orig_h: int, target_smaller_side: int,
+                     max_pixel_size: int) -> Tuple[int, int]:
+    """Resize target keeping the smaller side at ``target_smaller_side`` and
+    capping the larger side (``utilities.lua:188-203``)."""
+    if orig_h < orig_w:
+        w = min(orig_w * target_smaller_side / orig_h, max_pixel_size)
+        h = math.floor(orig_h * w / orig_w + 0.5)
+        w = math.floor(w + 0.5)
+    else:
+        h = min(orig_h * target_smaller_side / orig_w, max_pixel_size)
+        w = math.floor(orig_w * h / orig_h + 0.5)
+        h = math.floor(h + 0.5)
+    assert w >= 1 and h >= 1
+    return w, h
+
+
+def load_image(path: str, color_space: str = "rgb",
+               base_path: str = "") -> np.ndarray:
+    """Decode to float32 RGB [0,1] then convert color space
+    (``load_image``, ``utilities.lua:205-218``). Raises on corrupt files —
+    callers catch and skip."""
+    from PIL import Image
+
+    import os
+    if base_path and not path.startswith("/"):
+        path = os.path.join(base_path, path)
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        arr = np.asarray(im, dtype=np.float32) / 255.0
+    return convert_color(arr, color_space)
+
+
+def resize_image(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Bilinear resize per channel (image.scale default)."""
+    from PIL import Image
+
+    new_w = max(1, int(new_w))
+    new_h = max(1, int(new_h))
+    chans = [
+        np.asarray(
+            Image.fromarray(img[:, :, c], mode="F").resize(
+                (new_w, new_h), Image.BILINEAR
+            )
+        )
+        for c in range(img.shape[2])
+    ]
+    return np.stack(chans, axis=-1)
+
+
+# --- numpy box helpers (host path; device math lives in geometry.boxes) -----
+
+def _clip_box(b, w, h):
+    return [
+        min(max(b[0], 0.0), w), min(max(b[1], 0.0), h),
+        max(min(b[2], w), 0.0), max(min(b[3], h), 0.0),
+    ]
+
+
+def _transform_rois(rois: List[dict], f, img_w: float, img_h: float,
+                    new_w: float, new_h: float) -> List[dict]:
+    """Apply ``f(rect) -> rect`` to each ROI, clip to the new image, drop
+    empties (``transform_example``, ``BatchIterator.lua:27-47``)."""
+    out = []
+    for roi in rois:
+        r = f(list(roi["rect"]))
+        if r is None:
+            continue
+        r = _clip_box(r, new_w, new_h)
+        if r[0] == r[2] and r[1] == r[3]:
+            continue
+        if r[2] <= r[0] or r[3] <= r[1]:
+            continue
+        out.append({**roi, "rect": r})
+    return out
+
+
+class _OrderedSet:
+    """Shuffled cyclic iteration over a file list
+    (``randomize_order``/``next_entry``)."""
+
+    def __init__(self, items: Sequence[str], rng: random.Random):
+        self.items = list(items)
+        self.rng = rng
+        self.order: List[int] = []
+        self.i = 0
+        self._reshuffle()
+
+    def _reshuffle(self):
+        self.order = list(range(len(self.items)))
+        self.rng.shuffle(self.order)
+        self.i = 0
+
+    def __len__(self):
+        return len(self.items)
+
+    def next(self) -> str:
+        if self.i >= len(self.items):
+            self._reshuffle()
+        item = self.items[self.order[self.i]]
+        self.i += 1
+        return item
+
+
+class BatchIterator:
+    """Yields fixed-shape :class:`TrainBatch` structures."""
+
+    def __init__(self, cfg: Config, manifest, seed: Optional[int] = None):
+        if isinstance(manifest, str):
+            manifest = load_manifest(manifest)
+        self.cfg = cfg
+        self.manifest = manifest
+        self.ground_truth = manifest["ground_truth"]
+        self.rng = random.Random(seed if seed is not None else cfg.seed)
+        self.training = _OrderedSet(manifest["training_set"], self.rng)
+        self.validation = _OrderedSet(manifest["validation_set"], self.rng)
+        self.background = _OrderedSet(
+            manifest.get("background_files", []), self.rng
+        )
+
+    # -- per-image processing -------------------------------------------------
+
+    def process_image(self, img: np.ndarray, rois: List[dict],
+                      augment: bool = True) -> Tuple[np.ndarray, List[dict]]:
+        """Resize + augment one image with its ROIs in lockstep
+        (``BatchIterator:processImage``, ``BatchIterator.lua:101-140``).
+        Returns the processed image at its TRUE size (no padding) and
+        transformed ROIs. Normalization happens on device."""
+        cfg = self.cfg
+        aug = cfg.augmentation
+        h, w = img.shape[:2]
+        tw, th = find_target_size(
+            w, h, cfg.target_smaller_side, cfg.max_pixel_size
+        )
+        scale_x = tw / w
+        scale_y = th / h
+
+        if augment and aug.random_scaling and aug.random_scaling > 0:
+            # Intended behavior: jitter around the base scale. (The
+            # reference's formula drops the base term and can go negative,
+            # BatchIterator.lua:113-114 — a bug on a path its configs never
+            # enable; not replicated.)
+            scale_x = scale_x * (1.0 + (self.rng.random() - 0.5) * aug.random_scaling)
+            scale_y = scale_x * (1.0 + (self.rng.random() - 0.5) * aug.aspect_jitter)
+
+        new_w = max(1, round(w * scale_x))
+        new_h = max(1, round(h * scale_y))
+        img = resize_image(img, new_w, new_h)
+        sx, sy = new_w / w, new_h / h
+        rois = _transform_rois(
+            rois, lambda r: [r[0] * sx, r[1] * sy, r[2] * sx, r[3] * sy],
+            w, h, new_w, new_h,
+        )
+
+        # crop back to target if we upscaled past it (BatchIterator.lua:117-129)
+        ih, iw = img.shape[:2]
+        if iw > tw or ih > th:
+            cw, ch = min(tw, iw), min(th, ih)
+            x0 = math.floor(self.rng.random() * (iw - cw))
+            y0 = math.floor(self.rng.random() * (ih - ch))
+            img = img[y0 : y0 + ch, x0 : x0 + cw]
+            rois = _transform_rois(
+                rois,
+                lambda r: [r[0] - x0, r[1] - y0, r[2] - x0, r[3] - y0],
+                iw, ih, cw, ch,
+            )
+
+        ih, iw = img.shape[:2]
+        # also clamp to the compile bucket (same mechanics as the crop above)
+        Hb, Wb = self.cfg.shapes.image_hw
+        if iw > Wb or ih > Hb:
+            cw, ch = min(Wb, iw), min(Hb, ih)
+            img = img[:ch, :cw]
+            rois = _transform_rois(rois, lambda r: list(r), iw, ih, cw, ch)
+            ih, iw = ch, cw
+
+        if augment and aug.hflip and self.rng.random() < aug.hflip:
+            img = img[:, ::-1]
+            rois = _transform_rois(
+                rois, lambda r: [iw - r[2], r[1], iw - r[0], r[3]], iw, ih, iw, ih
+            )
+        if augment and aug.vflip and self.rng.random() < aug.vflip:
+            img = img[::-1, :]
+            rois = _transform_rois(
+                rois, lambda r: [r[0], ih - r[3], r[2], ih - r[1]], iw, ih, iw, ih
+            )
+        return np.ascontiguousarray(img), rois
+
+    def _load_processed(self, fn: str, base_path: str, with_rois: bool,
+                        augment: bool = True):
+        """Decode + process with the reference's skip rules. Returns
+        (img, rois) or None if the image must be skipped."""
+        try:
+            img = load_image(fn, self.cfg.color_space, base_path)
+        except Exception as e:  # corrupt file — pcall guard analog
+            log.warning("Invalid image '%s': %s", fn, e)
+            return None
+        if img.ndim != 3 or img.shape[2] != 3:
+            log.warning("Skipping '%s': unexpected channels", fn)
+            return None
+        rois = []
+        if with_rois:
+            entry = self.ground_truth.get(fn)
+            rois = [dict(r) for r in (entry["rois"] if entry else [])]
+        img, rois = self.process_image(img, rois, augment=augment)
+        if img.shape[0] < 128 or img.shape[1] < 128:
+            log.warning(
+                "Skipping '%s': too small after processing (%dx%d)",
+                fn, img.shape[1], img.shape[0],
+            )
+            return None
+        return img, rois
+
+    # -- batching --------------------------------------------------------------
+
+    def _pad_slot(self, img: np.ndarray, rois: List[dict]):
+        s = self.cfg.shapes
+        H, W = s.image_hw
+        G = s.max_gt
+        h, w = img.shape[:2]
+        canvas = np.zeros((H, W, 3), np.float32)
+        canvas[:h, :w] = img[:H, :W]
+        gt_boxes = np.zeros((G, 4), np.float32)
+        gt_cls = np.zeros((G,), np.int32)
+        gt_mask = np.zeros((G,), bool)
+        if len(rois) > G:
+            log.warning("truncating %d ROIs to %d", len(rois), G)
+            rois = rois[:G]
+        for i, r in enumerate(rois):
+            gt_boxes[i] = r["rect"]
+            gt_cls[i] = r["class_index"]
+            gt_mask[i] = True
+        return canvas, (h, w), gt_boxes, gt_cls, gt_mask
+
+    def next_training_batch(self) -> TrainBatch:
+        s = self.cfg.shapes
+        B = s.images_per_step
+        imgs, hws, boxes, clss, masks, isbg = [], [], [], [], [], []
+
+        def add(img, rois, bg: bool):
+            canvas, hw, gb, gc, gm = self._pad_slot(img, rois)
+            imgs.append(canvas)
+            hws.append(hw)
+            boxes.append(gb)
+            clss.append(gc)
+            masks.append(gm)
+            isbg.append(bg)
+
+        # one background slot per batch when available (BatchIterator.lua:252-270)
+        if len(self.background) > 0 and B > 1:
+            for _ in range(10):
+                got = self._load_processed(
+                    self.background.next(), self.cfg.background_base_path,
+                    with_rois=False,
+                )
+                if got is not None:
+                    add(got[0], [], True)
+                    break
+
+        while len(imgs) < B:
+            got = self._load_processed(
+                self.training.next(), self.cfg.examples_base_path, with_rois=True
+            )
+            if got is None:
+                continue
+            add(got[0], got[1], False)
+
+        return TrainBatch(
+            image=np.stack(imgs),
+            true_hw=np.asarray(hws, np.int32),
+            gt_boxes=np.stack(boxes),
+            gt_classes=np.stack(clss),
+            gt_mask=np.stack(masks),
+            is_background=np.asarray(isbg, bool),
+        )
+
+    def next_validation(self, count: int = 1):
+        """List of dicts {image (true size), rois} — ``nextValidation``
+        (``BatchIterator.lua:279-317``). No augmentation."""
+        out = []
+        guard = 0
+        while len(out) < count and guard < count * 20:
+            guard += 1
+            got = self._load_processed(
+                self.validation.next(), self.cfg.examples_base_path,
+                with_rois=True, augment=False,
+            )
+            if got is None:
+                continue
+            out.append({"image": got[0], "rois": got[1]})
+        return out
+
+    def padded_validation_batch(self, count: int):
+        """Fixed-shape batch for the jitted detector."""
+        items = self.next_validation(count)
+        imgs, hws, all_rois = [], [], []
+        for it in items:
+            canvas, hw, *_ = self._pad_slot(it["image"], it["rois"])
+            imgs.append(canvas)
+            hws.append(hw)
+            all_rois.append(it["rois"])
+        return np.stack(imgs), np.asarray(hws, np.int32), all_rois

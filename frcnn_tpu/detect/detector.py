@@ -1,0 +1,192 @@
+"""Batched jitted inference.
+
+Replaces ``Detector:detect`` (``Detector.lua:17-141``). The reference's
+dominant cost is a host loop reading device memory cell-by-cell over
+4 layers x H x W x 3 aspects (``Detector.lua:39-66``); here the whole decode
+is one dense device program, batched over images:
+
+  1. pnet forward (eval mode),
+  2. dense decode: softmax over the 2-class logits of every anchor cell,
+     keep P(fg) > 0.95 (``Detector.lua:54``), decode boxes via
+     ``anchorToInput`` (``Detector.lua:57``), require overlap with the image
+     rect (``Detector.lua:58``) and the cell to exist in the true-size
+     feature map,
+  3. top-K by score -> proposal NMS at IoU 0.25 ordered by score
+     (``Detector.lua:81-82``),
+  4. ROI adaptive max-pool of survivors on the shared feature map; one cnet
+     batch (``Detector.lua:92-101``),
+  5. refine boxes by decoding the regression head against the proposal
+     (``Detector.lua:107``), argmax class; keep non-background with
+     exp(confidence) > 0.2 (``Detector.lua:115``),
+  6. per-class NMS at IoU 0.1 scored by confidence (``Detector.lua:125-136``).
+
+Outputs are fixed-shape padded arrays + validity mask. ``boxes`` is the
+refined box r2; ``proposal_boxes`` the stage-1 box r (which is what the
+reference's evaluation demo draws, ``main.lua:209``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from frcnn_tpu.config import Config
+from frcnn_tpu.geometry import boxes as B
+from frcnn_tpu.geometry.anchors import AnchorGenerator
+from frcnn_tpu.models.cnet import ClassificationNet
+from frcnn_tpu.models.pnet import ProposalNet
+from frcnn_tpu.ops.nms import nms, per_class_nms
+from frcnn_tpu.ops.normalization import normalize_image
+from frcnn_tpu.ops.roi_pool import adaptive_max_pool, prepare_roi_rects
+from frcnn_tpu.train.objective import _flatten_batched
+
+FG_THRESHOLD = 0.95       # P(fg) cutoff (Detector.lua:54)
+PROPOSAL_NMS_IOU = 0.25   # Detector.lua:81
+CONFIDENCE_THRESHOLD = 0.2  # exp(logprob) cutoff (Detector.lua:115)
+CLASS_NMS_IOU = 0.1       # Detector.lua:133
+
+
+class DetectionResult(NamedTuple):
+    boxes: jnp.ndarray           # [B, D, 4] refined (r2)
+    proposal_boxes: jnp.ndarray  # [B, D, 4] stage-1 proposals (r)
+    classes: jnp.ndarray         # [B, D] int32, 0-based
+    confidence: jnp.ndarray      # [B, D] probability (exp of log-softmax)
+    fg_score: jnp.ndarray        # [B, D] stage-1 P(fg)
+    valid: jnp.ndarray           # [B, D] bool
+
+
+def build_detect_fn(cfg: Config, gen: AnchorGenerator,
+                    pnet: ProposalNet, cnet: ClassificationNet,
+                    normalize_inputs: bool = True):
+    """Returns jittable ``detect(params, batch_stats, images, true_hw)``.
+
+    ``images``: [B, H, W, 3] in the configured color space (padded bucket);
+    ``true_hw``: [B, 2]. Set ``normalize_inputs=False`` if images are
+    already normalized.
+    """
+    s = cfg.shapes
+    kh, kw = cfg.roi_pooling.kh, cfg.roi_pooling.kw
+    anchor_boxes = jnp.asarray(gen.boxes)
+    K = s.max_proposals
+    D = s.max_detections
+    fm_loc = gen.fm_localizer
+    bg = cfg.class_count
+
+    def detect(params, batch_stats, images, true_hw):
+        if normalize_inputs:
+            images = jax.vmap(
+                lambda img, hw: normalize_image(
+                    img, hw[0], hw[1],
+                    method=cfg.normalization.method,
+                    width=cfg.normalization.width,
+                    centering=cfg.normalization.centering,
+                    scaling=cfg.normalization.scaling,
+                )
+            )(images, true_hw)
+
+        anchor_maps, fm = pnet.apply(
+            {"params": params["pnet"]}, images, train=False
+        )
+        pred = _flatten_batched(gen, anchor_maps)  # [B, A, 6]
+
+        def one_image(pred_i, fm_i, hw):
+            h, w = hw[0], hw[1]
+            logp = jax.nn.log_softmax(pred_i[:, 0:2], axis=-1)
+            score = logp[:, 0]                      # log P(fg), the NMS score
+            p_fg = jnp.exp(score)
+            decoded = B.decode(anchor_boxes, pred_i[:, 2:6])
+            img_rect = jnp.stack(
+                [jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                 w.astype(jnp.float32), h.astype(jnp.float32)]
+            )
+            keep = (
+                (p_fg > FG_THRESHOLD)
+                & B.overlaps(decoded, img_rect)
+                & gen.fm_valid_mask(h, w)
+            )
+
+            # top-K candidates into the proposal NMS
+            cand_score = jnp.where(keep, score, -jnp.inf)
+            top_scores, top_idx = jax.lax.top_k(cand_score, K)
+            top_valid = jnp.isfinite(top_scores)
+            top_boxes = decoded[top_idx]
+
+            nms_idx, nms_valid = nms(
+                top_boxes, top_scores, top_valid, PROPOSAL_NMS_IOU, D
+            )
+            cand = jnp.take(top_idx, jnp.maximum(nms_idx, 0))
+            prop_boxes = decoded[cand]              # [D, 4] proposals r
+            prop_score = p_fg[cand]
+
+            # ROI pool proposals on the true-size feature map
+            fw, fh = fm_loc.feature_map_size_jax(w, h)
+            fr = prepare_roi_rects(
+                fm_loc.input_to_feature_rect_jax(prop_boxes), fw, fh
+            )
+            pooled = adaptive_max_pool(fm_i, fr, kh, kw).reshape(D, -1)
+            return (prop_boxes, prop_score, nms_valid, pooled)
+
+        prop_boxes, prop_score, prop_valid, pooled = jax.vmap(one_image)(
+            pred, fm, true_hw
+        )
+
+        # one cnet batch over B x D candidates (eval: running stats)
+        creg, clogp = cnet.apply(
+            {"params": params["cnet"], "batch_stats": batch_stats["cnet"]},
+            pooled, prop_valid, train=False,
+        )
+
+        refined = B.decode(prop_boxes, creg)        # r2 = anchorToInput(r, reg)
+        cls = jnp.argmax(clogp, axis=-1)            # [B, D]
+        conf = jnp.exp(jnp.max(clogp, axis=-1))
+        accept = prop_valid & (cls != bg) & (conf > CONFIDENCE_THRESHOLD)
+
+        def final_nms(boxes_i, conf_i, cls_i, ok_i):
+            idx, v = per_class_nms(
+                boxes_i, jnp.log(jnp.maximum(conf_i, 1e-20)), cls_i, ok_i,
+                cfg.num_classes_with_bg, CLASS_NMS_IOU, D,
+            )
+            safe = jnp.maximum(idx, 0)
+            return (
+                boxes_i[safe], cls_i[safe], conf_i[safe], safe, v
+            )
+
+        f_boxes, f_cls, f_conf, f_src, f_valid = jax.vmap(final_nms)(
+            refined, conf, cls, accept
+        )
+        f_prop = jnp.take_along_axis(prop_boxes, f_src[:, :, None], axis=1)
+        f_fg = jnp.take_along_axis(prop_score, f_src, axis=1)
+
+        return DetectionResult(
+            boxes=f_boxes,
+            proposal_boxes=f_prop,
+            classes=f_cls.astype(jnp.int32),
+            confidence=f_conf,
+            fg_score=f_fg,
+            valid=f_valid,
+        )
+
+    return detect
+
+
+class Detector:
+    """Convenience wrapper holding jitted detect for a fixed config."""
+
+    def __init__(self, cfg: Config, params, batch_stats, gen=None,
+                 pnet=None, cnet=None):
+        from frcnn_tpu.models.factory import create_models
+
+        self.cfg = cfg
+        self.gen = gen or AnchorGenerator(cfg)
+        if pnet is None or cnet is None:
+            pnet, cnet = create_models(cfg)
+        self.pnet, self.cnet = pnet, cnet
+        self.params = params
+        self.batch_stats = batch_stats
+        self._detect = jax.jit(build_detect_fn(cfg, self.gen, pnet, cnet))
+
+    def detect(self, images, true_hw) -> DetectionResult:
+        return self._detect(self.params, self.batch_stats, images, true_hw)

@@ -1,0 +1,95 @@
+"""Proposal network: VGG-style backbone + 4 multi-scale anchor heads.
+
+Mirrors ``create_proposal_net`` (``models/model_utilities.lua:3-74``):
+
+* backbone = sequence of ConvPoolBlocks; each block is ``conv_steps`` 3x3/1/1
+  convolutions with PReLU (a SpatialDropout after the FIRST conv of the
+  block only — the Lua sets ``dropout = nil`` after step 1,
+  ``model_utilities.lua:22``) followed by a 2x2/2 ceil-mode max pool;
+* anchor head i = conv(kxk valid -> n) + PReLU + conv(1x1 -> 18), attached
+  to the output of backbone block ``anchor_nets[i].input``;
+* outputs: the 4 anchor maps followed by the last block's feature map
+  (``model_utilities.lua:51-58``).
+
+Layout is NHWC (TPU-native). Conv weights use the reference's MSRA fan-out
+init, biases zero (``model_utilities.lua:60-71``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from frcnn_tpu.config import ModelConfig
+from frcnn_tpu.models.layers import PReLU, ceil_max_pool_2x2, msra_conv_init
+
+ANCHOR_CHANNELS = 3 * (2 + 4)  # 3 aspects x (2 cls + 4 reg) = 18
+
+
+class ProposalNet(nn.Module):
+    model_cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: [B, H, W, 3] -> (anchor_maps: list of [B, Hi, Wi, 18],
+        feature_map: [B, Hf, Wf, C_last])."""
+        cfg = self.model_cfg
+        x = x.astype(self.dtype)
+        block_outputs: List = []
+        for bi, spec in enumerate(cfg.layers):
+            for si in range(spec.conv_steps):
+                x = nn.Conv(
+                    spec.filters,
+                    (spec.kH, spec.kW),
+                    strides=(1, 1),
+                    padding=[(spec.padH, spec.padH), (spec.padW, spec.padW)],
+                    kernel_init=msra_conv_init,
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name=f"block{bi}_conv{si}",
+                )(x)
+                x = PReLU(dtype=self.dtype, name=f"block{bi}_prelu{si}")(x)
+                if si == 0 and spec.dropout > 0:
+                    # SpatialDropout: drop whole channels per sample
+                    x = nn.Dropout(
+                        rate=spec.dropout,
+                        broadcast_dims=(1, 2),
+                        deterministic=not train,
+                        name=f"block{bi}_spatialdrop",
+                    )(x)
+            x = ceil_max_pool_2x2(x)
+            block_outputs.append(x)
+
+        anchor_maps = []
+        for ai, aspec in enumerate(cfg.anchor_nets):
+            h = block_outputs[aspec.input - 1]  # spec.input is 1-based
+            h = nn.Conv(
+                aspec.n,
+                (aspec.kW, aspec.kW),
+                strides=(1, 1),
+                padding="VALID",
+                kernel_init=msra_conv_init,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"anchor{ai}_conv",
+            )(h)
+            h = PReLU(dtype=self.dtype, name=f"anchor{ai}_prelu")(h)
+            h = nn.Conv(
+                ANCHOR_CHANNELS,
+                (1, 1),
+                padding="VALID",
+                kernel_init=msra_conv_init,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"anchor{ai}_out",
+            )(h)
+            # anchor map values feed losses/decoding: fp32 out
+            anchor_maps.append(h.astype(jnp.float32))
+
+        return anchor_maps, block_outputs[-1].astype(jnp.float32)

@@ -1,0 +1,106 @@
+"""SPP-style adaptive max pooling over ROI feature rects.
+
+Replaces ``nn.SpatialAdaptiveMaxPooling(kw, kh)`` + the manual
+forward/backward bookkeeping of the reference (``objective.lua:30,117-119,
+137-139,182-185``; ``Detector.lua:14,96-97``) with a batched, differentiable,
+fixed-shape op. Bin boundaries follow Torch's adaptive pooling exactly:
+output bin ``b`` over a region of extent ``h`` covers rows
+``[floor(b*h/k), ceil((b+1)*h/k))`` — note bins can OVERLAP when the region
+is smaller than the grid, so rows may belong to several bins (this is why a
+plain segment-max is not sufficient).
+
+ROI rect preparation replicates ``extract_roi_pooling_input``
+(``objective.lua:5-13``): clip the feature rect to the feature map, and the
+``min(minY + 1, maxY)``/``min(minX + 1, maxX)`` adjustment — a conversion
+from the half-open 0-based interval that also keeps degenerate rects at
+least one cell wide.
+
+Backward: jax autodiff through the masked-max formulation yields exactly the
+scatter-into-argmax gradient the reference implements by saving pool indices
+(``objective.lua:182-185``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def prepare_roi_rects(feature_rects, fm_w, fm_h):
+    """Sanitize integer feature rects: clip to the (true-size) feature map
+    and force at least one row/column, matching ``objective.lua:5-13``.
+
+    Args:
+      feature_rects: [..., 4] (x0, y0, x1, y1) half-open ints (float dtype).
+      fm_w, fm_h: true feature-map extent (may be traced scalars).
+    Returns: same-shape rects with 0 <= x0 < x1 <= fm_w etc.
+    """
+    x0, y0, x1, y1 = (feature_rects[..., i] for i in range(4))
+    fw = jnp.asarray(fm_w, feature_rects.dtype)
+    fh = jnp.asarray(fm_h, feature_rects.dtype)
+    # Rect:clip to [0, 0, fm_w, fm_h]
+    x0 = jnp.clip(x0, 0, fw)
+    y0 = jnp.clip(y0, 0, fh)
+    x1 = jnp.clip(x1, 0, fw)
+    y1 = jnp.clip(y1, 0, fh)
+    # min(min+1, max) in 1-based Lua == start = min(x0, x1-1) 0-based;
+    # clamp into the map and force non-empty.
+    x0 = jnp.clip(jnp.minimum(x0, x1 - 1), 0, fw - 1)
+    y0 = jnp.clip(jnp.minimum(y0, y1 - 1), 0, fh - 1)
+    x1 = jnp.maximum(x1, x0 + 1)
+    y1 = jnp.maximum(y1, y0 + 1)
+    return jnp.stack([x0, y0, x1, y1], axis=-1)
+
+
+def _bin_membership(start, end, k: int, n: int):
+    """[k, n] bool: cell i belongs to output bin b of the region [start, end).
+
+    Torch adaptive bins over region extent h = end - start:
+      bin b = [start + floor(b*h/k), start + ceil((b+1)*h/k)).
+    """
+    h = end - start
+    b = jnp.arange(k, dtype=jnp.float32)[:, None]
+    lo = start + jnp.floor(b * h / k)
+    hi = start + jnp.ceil((b + 1) * h / k)
+    i = jnp.arange(n, dtype=jnp.float32)[None, :]
+    return (i >= lo) & (i < hi)
+
+
+def adaptive_max_pool(fm, rects, kh: int, kw: int):
+    """Batched adaptive max pool.
+
+    Args:
+      fm: [H, W, C] feature map (true content; padded region values are
+          excluded by the rect clip, not by masking here).
+      rects: [K, 4] prepared feature rects (see :func:`prepare_roi_rects`).
+    Returns: [K, kh, kw, C].
+
+    Separable two-stage reduction (cols then rows) with masked max; XLA
+    fuses the where+reduce so the [*, k, n] masks never materialize at C
+    width.
+    """
+    H, W, C = fm.shape
+    neg = jnp.asarray(-jnp.inf, fm.dtype)
+
+    def one(rect):
+        x0, y0, x1, y1 = rect[0], rect[1], rect[2], rect[3]
+        col_m = _bin_membership(x0, x1, kw, W)          # [kw, W]
+        row_m = _bin_membership(y0, y1, kh, H)          # [kh, H]
+        # cols: [H, W, C] -> [H, kw, C]
+        colmax = jnp.max(
+            jnp.where(col_m[None, :, :, None], fm[:, None, :, :], neg), axis=2
+        )
+        # rows: [H, kw, C] -> [kh, kw, C]
+        out = jnp.max(
+            jnp.where(row_m[:, :, None, None], colmax[None, :, :, :], neg), axis=1
+        )
+        return out
+
+    return jax.vmap(one)(rects.astype(jnp.float32))
+
+
+def roi_pool_feature_rects(localizer, input_rects, fm_w, fm_h):
+    """input-space rects -> prepared integer feature rects (the full
+    ``extract_roi_pooling_input`` coordinate path)."""
+    fr = localizer.input_to_feature_rect_jax(input_rects)
+    return prepare_roi_rects(fr, fm_w, fm_h)

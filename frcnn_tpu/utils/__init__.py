@@ -1,0 +1,3 @@
+from frcnn_tpu.utils.serialization import save_checkpoint, load_checkpoint
+
+__all__ = ["save_checkpoint", "load_checkpoint"]
