@@ -1,0 +1,71 @@
+"""Detection throughput benchmark.
+
+Measures batched end-to-end detect (pnet + dense decode + proposal NMS +
+ROI pool + cnet + per-class NMS) at the duplo 450x800 bucket on the default
+device (TPU under the driver). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Baseline: BASELINE.json north star = 1000 images/sec/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 1000.0
+
+
+def main():
+    from frcnn_tpu.config import duplo_config
+    from frcnn_tpu.detect.detector import build_detect_fn
+    from frcnn_tpu.geometry.anchors import AnchorGenerator
+    from frcnn_tpu.models.factory import create_models, init_params
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    cfg = duplo_config()
+    gen = AnchorGenerator(cfg)
+    pnet, cnet = create_models(cfg)
+    params, stats = init_params(cfg, jax.random.PRNGKey(0))
+    detect = jax.jit(build_detect_fn(cfg, gen, pnet, cnet))
+
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(0.3, 0.2, size=(batch_size, H, W, 3)).astype(np.float32)
+    )
+    true_hw = jnp.tile(jnp.asarray([[H, W]], jnp.int32), (batch_size, 1))
+
+    # compile + warmup
+    out = detect(params, stats, images, true_hw)
+    jax.block_until_ready(out)
+    out = detect(params, stats, images, true_hw)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = detect(params, stats, images, true_hw)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ips = batch_size * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "batched detect images/sec/chip @800x450 (vgg_small/duplo)",
+                "value": round(ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Jitted detector: shape/validity/threshold semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frcnn_tpu.detect.detector import build_detect_fn
+from frcnn_tpu.geometry.anchors import AnchorGenerator
+from frcnn_tpu.models.factory import create_models, init_params
+from tests.tiny import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    gen = AnchorGenerator(cfg)
+    pnet, cnet = create_models(cfg)
+    params, stats = init_params(cfg, jax.random.PRNGKey(0))
+    detect = jax.jit(build_detect_fn(cfg, gen, pnet, cnet))
+    return cfg, gen, pnet, cnet, params, stats, detect
+
+
+def _images(cfg, rng, b=2):
+    H, W = cfg.shapes.image_hw
+    imgs = rng.normal(0.3, 0.2, size=(b, H, W, 3)).astype(np.float32)
+    hw = np.tile(np.array([[H, W]], np.int32), (b, 1))
+    return jnp.asarray(imgs), jnp.asarray(hw)
+
+
+def test_detect_runs_fixed_shapes(setup):
+    cfg, gen, pnet, cnet, params, stats, detect = setup
+    imgs, hw = _images(cfg, np.random.default_rng(0))
+    out = detect(params, stats, imgs, hw)
+    D = cfg.shapes.max_detections
+    assert out.boxes.shape == (2, D, 4)
+    assert out.classes.shape == (2, D)
+    assert out.valid.shape == (2, D)
+    assert np.isfinite(np.asarray(out.boxes)[np.asarray(out.valid)]).all()
+
+
+def test_detect_thresholds(setup):
+    """With random-init params, P(fg) ~ 0.5 << 0.95: no detections."""
+    cfg, gen, pnet, cnet, params, stats, detect = setup
+    imgs, hw = _images(cfg, np.random.default_rng(1))
+    out = detect(params, stats, imgs, hw)
+    # untrained network almost surely yields nothing above 0.95
+    assert int(np.asarray(out.valid).sum()) == 0
+
+
+def _force_fg_params(cfg, params, fg_bias=8.0):
+    """Bias the anchor output convs so every cell screams foreground with a
+    fixed small regression; makes the proposal path deterministic."""
+    import jax.numpy as jnp
+
+    p = jax.tree.map(lambda x: x, params)  # shallow copy via tree
+    for ai in range(4):
+        name = f"anchor{ai}_out"
+        b = np.zeros(18, np.float32)
+        for j in range(3):
+            b[6 * j + 0] = fg_bias     # fg logit
+            b[6 * j + 1] = 0.0
+            b[6 * j + 2 :6 * j + 6] = 0.0
+        k = np.zeros_like(np.asarray(params["pnet"][name]["kernel"]))
+        p["pnet"][name]["kernel"] = jnp.asarray(k)
+        p["pnet"][name]["bias"] = jnp.asarray(b)
+    return p
+
+
+def test_detect_forced_proposals(setup):
+    """Forcing fg everywhere: proposals appear, NMS thins them, classifier
+    (random) gates the rest — valid entries carry consistent data."""
+    cfg, gen, pnet, cnet, params, stats, detect = setup
+    p = _force_fg_params(cfg, params)
+    imgs, hw = _images(cfg, np.random.default_rng(2))
+    out = detect(p, stats, imgs, hw)
+    v = np.asarray(out.valid)
+    conf = np.asarray(out.confidence)
+    cls = np.asarray(out.classes)
+    if v.any():
+        assert (conf[v] > 0.2).all()
+        assert (cls[v] != cfg.class_count).all()
+    # fg scores of surviving proposals exceed the 0.95 gate
+    fg = np.asarray(out.fg_score)
+    assert (fg[v] > 0.95).all()
+
+
+def test_detect_smaller_true_image(setup):
+    """True image smaller than the bucket: all reported boxes must overlap
+    the true image rect."""
+    cfg, gen, pnet, cnet, params, stats, detect = setup
+    p = _force_fg_params(cfg, params)
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.normal(0.3, 0.2, size=(1, H, W, 3)), jnp.float32)
+    hw = jnp.asarray([[96, 128]], jnp.int32)
+    out = detect(p, stats, imgs, hw)
+    v = np.asarray(out.valid)[0]
+    boxes = np.asarray(out.proposal_boxes)[0]
+    for b in boxes[v]:
+        assert b[0] < 128 and b[2] > 0 and b[1] < 96 and b[3] > 0
+
+
+def test_detect_deterministic(setup):
+    cfg, gen, pnet, cnet, params, stats, detect = setup
+    p = _force_fg_params(cfg, params)
+    imgs, hw = _images(cfg, np.random.default_rng(4), b=1)
+    o1 = detect(p, stats, imgs, hw)
+    o2 = detect(p, stats, imgs, hw)
+    np.testing.assert_array_equal(np.asarray(o1.boxes), np.asarray(o2.boxes))
+    np.testing.assert_array_equal(np.asarray(o1.valid), np.asarray(o2.valid))
