@@ -21,6 +21,13 @@ BASELINE_IMAGES_PER_SEC = 1000.0
 
 
 def main():
+    # persistent compile cache: repeated bench invocations skip XLA compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/frcnn_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from frcnn_tpu.config import duplo_config
     from frcnn_tpu.detect.detector import build_detect_fn
     from frcnn_tpu.geometry.anchors import AnchorGenerator
@@ -43,8 +50,10 @@ def main():
     true_hw = jnp.tile(jnp.asarray([[H, W]], jnp.int32), (batch_size, 1))
 
     # compile + warmup
+    t0 = time.perf_counter()
     out = detect(params, stats, images, true_hw)
     jax.block_until_ready(out)
+    print(f"# compile+first-run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     out = detect(params, stats, images, true_hw)
     jax.block_until_ready(out)
 
