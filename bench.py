@@ -40,6 +40,19 @@ def main():
     gen = AnchorGenerator(cfg)
     pnet, cnet = create_models(cfg)
     params, stats = init_params(cfg, jax.random.PRNGKey(0))
+
+    # Stress the data-dependent stages honestly: bias the anchor heads so
+    # every cell proposes (random init would propose nothing at the 0.95
+    # gate, letting the early-exit NMS skip its work). This is a heavier
+    # proposal load than any real scene.
+    pp = jax.tree.map(lambda x: x, params)
+    for ai in range(4):
+        b = np.zeros(18, np.float32)
+        for j in range(3):
+            b[6 * j] = 6.0
+        pp["pnet"][f"anchor{ai}_out"]["bias"] = jnp.asarray(b)
+    params = pp
+
     detect = jax.jit(build_detect_fn(cfg, gen, pnet, cnet))
 
     H, W = cfg.shapes.image_hw
@@ -49,21 +62,35 @@ def main():
     )
     true_hw = jnp.tile(jnp.asarray([[H, W]], jnp.int32), (batch_size, 1))
 
-    # compile + warmup
+    # block_until_ready does not block on this remote platform, so time N
+    # data-dependent detect iterations inside ONE XLA program and fetch a
+    # scalar; difference two loop lengths to cancel launch overhead.
+    detect_fn = build_detect_fn(cfg, gen, pnet, cnet)
+
+    @jax.jit
+    def run(n, p, st, imgs, hw):
+        def body(i, c):
+            out = detect_fn(p, st, imgs + c, hw)
+            return jnp.sum(out.boxes[0, 0]) * 1e-20
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
     t0 = time.perf_counter()
-    out = detect(params, stats, images, true_hw)
-    jax.block_until_ready(out)
+    _ = float(run(1, params, stats, images, true_hw))
     print(f"# compile+first-run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    out = detect(params, stats, images, true_hw)
-    jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = detect(params, stats, images, true_hw)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    def timed(k, trials=3):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            _ = float(run(k, params, stats, images, true_hw))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    ips = batch_size * iters / dt
+    n_small = 1 + iters // 4
+    n_big = 1 + iters
+    dt = timed(n_big) - timed(n_small)
+    ips = batch_size * (n_big - n_small) / dt
     print(
         json.dumps(
             {

@@ -89,7 +89,9 @@ class ProposalNet(nn.Module):
                 param_dtype=jnp.float32,
                 name=f"anchor{ai}_out",
             )(h)
-            # anchor map values feed losses/decoding: fp32 out
-            anchor_maps.append(h.astype(jnp.float32))
+            anchor_maps.append(h)
 
-        return anchor_maps, block_outputs[-1].astype(jnp.float32)
+        # Outputs stay in compute dtype; consumers cast the (small)
+        # flattened prediction tensor to fp32 for box math. Keeping the
+        # shared feature map in bf16 halves ROI-pool HBM traffic.
+        return anchor_maps, block_outputs[-1]

@@ -46,22 +46,29 @@ def nms_indices_sorted(boxes_sorted, valid_sorted, iou_threshold: float, max_out
     """
     n = boxes_sorted.shape[0]
     iou = B.iou_plus_one(boxes_sorted[:, None, :], boxes_sorted[None, :, :])
+    idx_range = jnp.arange(n)
 
-    def body(k, state):
-        alive, keep, keep_valid = state
-        any_alive = jnp.any(alive)
+    # while_loop with early exit: trip count = number of picks actually
+    # made (<< max_out on typical scenes), not the static bound.
+    def cond(state):
+        k, alive, _, _ = state
+        return (k < max_out) & jnp.any(alive)
+
+    def body(state):
+        k, alive, keep, keep_valid = state
         pick = jnp.argmax(alive)  # first alive (highest score remaining)
-        row = iou[pick]
-        new_alive = alive & (row <= iou_threshold) & (jnp.arange(n) != pick)
-        alive = jnp.where(any_alive, new_alive, alive)
-        keep = keep.at[k].set(jnp.where(any_alive, pick.astype(jnp.int32), -1))
-        keep_valid = keep_valid.at[k].set(any_alive)
-        return alive, keep, keep_valid
+        keep = keep.at[k].set(pick.astype(jnp.int32))
+        keep_valid = keep_valid.at[k].set(True)
+        alive = alive & (iou[pick] <= iou_threshold) & (idx_range != pick)
+        return k + 1, alive, keep, keep_valid
 
-    alive0 = valid_sorted
-    keep0 = jnp.full((max_out,), -1, jnp.int32)
-    kv0 = jnp.zeros((max_out,), bool)
-    _, keep, keep_valid = jax.lax.fori_loop(0, max_out, body, (alive0, keep0, kv0))
+    state0 = (
+        jnp.asarray(0, jnp.int32),
+        valid_sorted,
+        jnp.full((max_out,), -1, jnp.int32),
+        jnp.zeros((max_out,), bool),
+    )
+    _, _, keep, keep_valid = jax.lax.while_loop(cond, body, state0)
     return keep, keep_valid
 
 

@@ -270,4 +270,5 @@ def _flatten_batched(gen: AnchorGenerator, anchor_maps):
         x = m.reshape(bsz, h, w, 3, 6)
         x = jnp.transpose(x, (0, 3, 1, 2, 4))
         flats.append(x.reshape(bsz, 3 * h * w, 6))
-    return jnp.concatenate(flats, axis=1)
+    # fp32 for box decode/loss math regardless of conv compute dtype
+    return jnp.concatenate(flats, axis=1).astype(jnp.float32)
