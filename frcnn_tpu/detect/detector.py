@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from frcnn_tpu.config import Config
 from frcnn_tpu.geometry import boxes as B
 from frcnn_tpu.geometry.anchors import AnchorGenerator
+from frcnn_tpu.geometry.matching import compact_mask
 from frcnn_tpu.models.cnet import ClassificationNet
 from frcnn_tpu.models.pnet import ProposalNet
 from frcnn_tpu.ops.nms import nms, per_class_nms
@@ -108,11 +109,16 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                 & gen.fm_valid_mask(h, w)
             )
 
-            # top-K candidates into the proposal NMS
-            cand_score = jnp.where(keep, score, -jnp.inf)
-            top_scores, top_idx = jax.lax.top_k(cand_score, K)
-            top_valid = jnp.isfinite(top_scores)
-            top_boxes = decoded[top_idx]
+            # Candidates into the proposal NMS. The reference keeps ALL
+            # gated proposals (no cap); we carry up to K. Selection is an
+            # O(A) compaction (cumsum+scatter) rather than a top-K sort —
+            # the candidate SET is identical whenever <= K anchors pass the
+            # 0.95 gate (always, on real scenes); if more pass, the first K
+            # in canonical anchor order are kept. NMS re-sorts by score.
+            top_idx, top_valid, _ = compact_mask(keep, K)
+            safe_top = jnp.maximum(top_idx, 0)
+            top_boxes = decoded[safe_top]
+            top_scores = jnp.where(top_valid, score[safe_top], -jnp.inf)
 
             nms_idx, nms_valid = nms(
                 top_boxes, top_scores, top_valid, PROPOSAL_NMS_IOU, D

@@ -38,38 +38,74 @@ def _sort_desc_with_ref_ties(scores, valid):
     return jnp.lexsort((-idx, -s)).astype(jnp.int32)
 
 
-def nms_indices_sorted(boxes_sorted, valid_sorted, iou_threshold: float, max_out: int):
-    """Greedy NMS over boxes already in processing order.
+NMS_BLOCK = 8
+
+
+def nms_indices_sorted(boxes_sorted, valid_sorted, iou_threshold: float,
+                       max_out: int, block: int = NMS_BLOCK):
+    """Greedy NMS over boxes already in processing order — EXACT greedy
+    semantics, processed ``block`` candidates per loop trip.
+
+    Each trip takes the first ``block`` still-alive boxes (the highest
+    scoring survivors, since boxes are sorted), resolves the suppression
+    chain within the block by an unrolled scan (only *kept* members
+    suppress later members — identical to one-at-a-time greedy), appends
+    the kept ones, and masks everything the kept set suppresses. Loop
+    trips ~ picks/block instead of picks, cutting serial loop overhead.
 
     Returns (keep_slots [max_out] int32 — positions in the *sorted* order,
     -1 padded; keep_valid [max_out] bool).
     """
     n = boxes_sorted.shape[0]
+    block = min(block, n)
     iou = B.iou_plus_one(boxes_sorted[:, None, :], boxes_sorted[None, :, :])
-    idx_range = jnp.arange(n)
+    neg_pos = -jnp.arange(n, dtype=jnp.float32)  # priority: earlier = higher
 
-    # while_loop with early exit: trip count = number of picks actually
-    # made (<< max_out on typical scenes), not the static bound.
     def cond(state):
-        k, alive, _, _ = state
-        return (k < max_out) & jnp.any(alive)
+        count, alive, _, _ = state
+        return (count < max_out) & jnp.any(alive)
 
     def body(state):
-        k, alive, keep, keep_valid = state
-        pick = jnp.argmax(alive)  # first alive (highest score remaining)
-        keep = keep.at[k].set(pick.astype(jnp.int32))
-        keep_valid = keep_valid.at[k].set(True)
-        alive = alive & (iou[pick] <= iou_threshold) & (idx_range != pick)
-        return k + 1, alive, keep, keep_valid
+        count, alive, keep, keep_valid = state
+        # first `block` alive positions, in order
+        pri = jnp.where(alive, neg_pos, -jnp.inf)
+        _, idx = jax.lax.top_k(pri, block)          # ascending positions
+        present = jnp.take(alive, idx)              # padding -> False
+        sub = iou[idx][:, idx]                      # [block, block]
+
+        kept_list = [present[0]]
+        for j in range(1, block):
+            suppressed = jnp.zeros((), bool)
+            for m in range(j):
+                suppressed = suppressed | (
+                    kept_list[m] & (sub[m, j] > iou_threshold)
+                )
+            kept_list.append(present[j] & ~suppressed)
+        kept = jnp.stack(kept_list)                 # [block]
+
+        # write kept picks in order
+        rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
+        dest = jnp.where(kept & (count + rank < max_out), count + rank, max_out)
+        keep = keep.at[dest].set(idx.astype(jnp.int32), mode="drop")
+        keep_valid = keep_valid.at[dest].set(True, mode="drop")
+        count = jnp.minimum(count + jnp.sum(kept.astype(jnp.int32)), max_out)
+
+        # kept members suppress (incl. themselves via the IoU=1 diagonal);
+        # non-kept present members were suppressed by a kept one above
+        rows = iou[idx]                              # [block, n]
+        suppress = jnp.any(kept[:, None] & (rows > iou_threshold), axis=0)
+        alive = alive & ~suppress
+        alive = alive & ~jnp.zeros_like(alive).at[idx].set(present)
+        return count, alive, keep, keep_valid
 
     state0 = (
         jnp.asarray(0, jnp.int32),
         valid_sorted,
-        jnp.full((max_out,), -1, jnp.int32),
-        jnp.zeros((max_out,), bool),
+        jnp.full((max_out + 1,), -1, jnp.int32),
+        jnp.zeros((max_out + 1,), bool),
     )
     _, _, keep, keep_valid = jax.lax.while_loop(cond, body, state0)
-    return keep, keep_valid
+    return keep[:max_out], keep_valid[:max_out]
 
 
 def nms(boxes, scores, valid, iou_threshold: float, max_out: int):

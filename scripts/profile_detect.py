@@ -86,13 +86,13 @@ def main():
     if "norm" in stages:
         def body(c):
             out = jax.vmap(lambda im, h: normalize_image(im + c, h[0], h[1]))(images, hw)
-            return jnp.sum(out[0, :2, :2]) * 1e-20
+            return (jnp.sum(out[0, :2, :2]) * 1e-20).astype(jnp.float32)
         loop_time(body, n, "normalize")
 
     if "fwd" in stages:
         def body(c):
             amaps, fm = pnet.apply({"params": params["pnet"]}, images + c, train=False)
-            return jnp.sum(fm[0, 0, 0, :2]) * 1e-20
+            return (jnp.sum(fm[0, 0, 0, :2]) * 1e-20).astype(jnp.float32)
         loop_time(body, n, "pnet_fwd")
 
     if "decode" in stages:
@@ -158,7 +158,7 @@ def main():
                 )
                 return adaptive_max_pool(fm_i, pr, kh, kw)
             out = jax.vmap(one)(fm, rects, hw)
-            return jnp.sum(out[0, 0, 0, 0, :2]) * 1e-20
+            return (jnp.sum(out[0, 0, 0, 0, :2]) * 1e-20).astype(jnp.float32)
         loop_time(body, n, f"roi_pool({D})")
 
     if "cnet" in stages:
@@ -170,7 +170,7 @@ def main():
                 {"params": params["cnet"], "batch_stats": stats["cnet"]},
                 x + c, jnp.ones((bs, D), bool), train=False,
             )
-            return jnp.sum(reg[0, 0]) * 1e-20
+            return (jnp.sum(reg[0, 0]) * 1e-20).astype(jnp.float32)
         loop_time(body, n, "cnet")
 
     if "full" in stages:
