@@ -1,0 +1,116 @@
+"""Detection evaluation: per-class average precision (VOC-style).
+
+The reference never finished its evaluation code (README TODO: "regularly
+evaluate net during traning", "eval code rewrite still pending") — its only
+check was eyeballing drawn boxes. This provides the missing piece: greedy
+score-ordered matching of detections to ground truth at an IoU threshold,
+all-points-interpolated AP per class, and mAP.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+
+def _ap_from_pr(tp: np.ndarray, fp: np.ndarray, n_gt: int) -> float:
+    """All-points interpolated AP from per-detection tp/fp flags sorted by
+    descending score."""
+    if n_gt == 0:
+        return float("nan")
+    ctp = np.cumsum(tp)
+    cfp = np.cumsum(fp)
+    recall = ctp / n_gt
+    precision = ctp / np.maximum(ctp + cfp, 1e-9)
+    # envelope
+    for i in range(len(precision) - 2, -1, -1):
+        precision[i] = max(precision[i], precision[i + 1])
+    ap = 0.0
+    prev_r = 0.0
+    for r, p in zip(recall, precision):
+        ap += (r - prev_r) * p
+        prev_r = r
+    return float(ap)
+
+
+def _iou(a, b):
+    iw = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    ih = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = iw * ih
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua if ua > 0 else 0.0
+
+
+def compute_map(detections: List[dict], ground_truth: List[dict],
+                num_classes: int, iou_threshold: float = 0.5) -> Dict:
+    """detections: [{image, class, score, box}], ground_truth:
+    [{image, class, box}]. Returns {'mAP', 'per_class': {c: ap}}."""
+    aps = {}
+    for c in range(num_classes):
+        dets = sorted(
+            (d for d in detections if d["class"] == c),
+            key=lambda d: -d["score"],
+        )
+        gts = [g for g in ground_truth if g["class"] == c]
+        matched = set()
+        by_image: Dict = {}
+        for gi, g in enumerate(gts):
+            by_image.setdefault(g["image"], []).append(gi)
+        tp = np.zeros(len(dets))
+        fp = np.zeros(len(dets))
+        for di, d in enumerate(dets):
+            best, best_gi = 0.0, -1
+            for gi in by_image.get(d["image"], []):
+                if gi in matched:
+                    continue
+                v = _iou(d["box"], gts[gi]["box"])
+                if v > best:
+                    best, best_gi = v, gi
+            if best >= iou_threshold and best_gi >= 0:
+                tp[di] = 1
+                matched.add(best_gi)
+            else:
+                fp[di] = 1
+        ap = _ap_from_pr(tp, fp, len(gts))
+        if not np.isnan(ap):
+            aps[c] = ap
+    mAP = float(np.mean(list(aps.values()))) if aps else 0.0
+    return {"mAP": mAP, "per_class": aps}
+
+
+def evaluate_map(cfg, detector, batch_iterator, max_images: int = 200,
+                 iou_threshold: float = 0.5, batch: int = 8) -> Dict:
+    """Run the detector over validation images and compute mAP."""
+    detections, gts = [], []
+    done = 0
+    img_id = 0
+    while done < max_images:
+        n = min(batch, max_images - done)
+        imgs, hws, rois_list = batch_iterator.padded_validation_batch(n)
+        if len(rois_list) == 0:
+            break
+        out = detector.detect(imgs, hws)
+        valid = np.asarray(out.valid)
+        boxes = np.asarray(out.boxes)
+        classes = np.asarray(out.classes)
+        conf = np.asarray(out.confidence)
+        for b in range(len(rois_list)):
+            for roi in rois_list[b]:
+                gts.append(
+                    {"image": img_id, "class": roi["class_index"],
+                     "box": roi["rect"]}
+                )
+            for k in np.nonzero(valid[b])[0]:
+                detections.append(
+                    {"image": img_id, "class": int(classes[b, k]),
+                     "score": float(conf[b, k]),
+                     "box": boxes[b, k].tolist()}
+                )
+            img_id += 1
+        done += len(rois_list)
+    result = compute_map(detections, gts, cfg.class_count, iou_threshold)
+    result["num_images"] = img_id
+    result["num_detections"] = len(detections)
+    result["num_gt"] = len(gts)
+    return result

@@ -1,0 +1,261 @@
+"""CLI driver — the ``main.lua`` equivalent.
+
+Same three config axes as the reference (``main.lua:18-47``): run-level
+flags here, experiment config via ``--cfg`` (preset name or JSON file),
+model via ``--model`` (preset name). Subcommands cover the reference's
+entry points plus dataset import:
+
+  train            ``graph_training`` (main.lua:103-153)
+  demo             ``evaluation_demo`` (main.lua:183-216)
+  evaluate         mAP on the validation split (the reference's README TODO)
+  import-duplo     create-duplo-traindata.lua
+  import-imagenet  create-imagenet-traindata.lua
+
+Examples:
+  python main.py train --cfg duplo --train duplo_manifest.json --name dup
+  python main.py demo --cfg duplo --train duplo_manifest.json \
+      --restore dup_004000.ckpt --out demo_out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+logging.basicConfig(level=logging.INFO, format="[%(asctime)s] %(message)s")
+log = logging.getLogger("frcnn_tpu.main")
+
+
+def build_config(args):
+    from frcnn_tpu.config import CONFIGS, Config, vgg_large_model, vgg_small_model
+
+    if args.cfg in CONFIGS:
+        cfg = CONFIGS[args.cfg]()
+    elif os.path.exists(args.cfg):
+        with open(args.cfg) as f:
+            cfg = Config.from_json(f.read())
+    else:
+        raise SystemExit(f"unknown config {args.cfg!r}")
+
+    overrides = {}
+    if args.model:
+        models = {"vgg_small": vgg_small_model, "vgg_large": vgg_large_model}
+        if args.model not in models:
+            raise SystemExit(f"unknown model {args.model!r}")
+        overrides["model"] = models[args.model]()
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    if args.rms_decay is not None:
+        overrides["rms_decay"] = args.rms_decay
+    if args.opti is not None:
+        overrides["optimizer"] = args.opti
+    if args.seed:
+        overrides["seed"] = args.seed
+    if args.snapshot is not None:
+        overrides["snapshot_interval"] = args.snapshot
+    if args.plot is not None:
+        overrides["plot_interval"] = args.plot
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def cmd_train(args):
+    """50,000-step training loop with loss printing, periodic plots and
+    snapshots, restart-safe (``graph_training``)."""
+    from frcnn_tpu.data.pipeline import BatchIterator
+    from frcnn_tpu.train.trainer import Trainer
+    from frcnn_tpu.utils.plotting import plot_training_progress
+
+    cfg = build_config(args)
+    log.info("config: %s classes=%d scales=%s", args.cfg, cfg.class_count, cfg.scales)
+
+    it = BatchIterator(cfg, args.train, seed=cfg.seed)
+    m = it.manifest
+    log.info(
+        "Training data loaded. Dataset: '%s'; Total files: %d; classes: %d; "
+        "Background: %d",
+        m.get("dataset_name"), len(m["ground_truth"]), len(m["class_names"]),
+        len(m.get("background_files", [])),
+    )
+
+    trainer = Trainer(cfg)
+    if args.restore:
+        trainer.restore_snapshot(args.restore)
+        log.info("restored %s at step %d", args.restore, trainer.step)
+
+    steps = args.steps or cfg.total_steps
+    t_report = time.perf_counter()
+    while trainer.step < steps:
+        batch = it.next_training_batch()
+        metrics = trainer.run_step(batch)
+        i = trainer.step
+        log.info(
+            "%d: loss: %f  prop: cls %.4f reg %.4f; det: cls %.4f reg %.4f "
+            "(examples: %d)",
+            i, metrics["loss"], metrics["pcls"], metrics["preg"],
+            metrics["dcls"], metrics["dreg"], int(metrics["cls_count"]),
+        )
+        if cfg.plot_interval and i % cfg.plot_interval == 0:
+            plot_training_progress(args.name, trainer.stats)
+        if cfg.snapshot_interval and i % cfg.snapshot_interval == 0:
+            path = f"{args.name}_{i:06d}.ckpt"
+            trainer.save_snapshot(path, options=vars(args))
+            log.info("snapshot %s (%.1fs since last report)",
+                     path, time.perf_counter() - t_report)
+            t_report = time.perf_counter()
+
+
+def _make_detector(cfg, restore):
+    import jax
+
+    from frcnn_tpu.detect.detector import Detector
+    from frcnn_tpu.models.factory import init_params
+    from frcnn_tpu.utils.serialization import load_checkpoint
+
+    params, stats = init_params(cfg, jax.random.PRNGKey(cfg.seed or 0))
+    if restore:
+        ckpt = load_checkpoint(restore)
+        params = ckpt["params"]
+        stats = ckpt["batch_stats"]
+    return Detector(cfg, params, stats)
+
+
+def cmd_demo(args):
+    """Detect on 50 random validation images, draw boxes, save JPGs
+    (``evaluation_demo``; it draws the stage-1 proposal box, main.lua:209)."""
+    import numpy as np
+
+    from frcnn_tpu.data.pipeline import BatchIterator
+    from frcnn_tpu.ops.color import yuv2rgb
+    from frcnn_tpu.utils.drawing import GREEN, draw_rectangle, save_image
+
+    cfg = build_config(args)
+    it = BatchIterator(cfg, args.train, seed=cfg.seed)
+    det = _make_detector(cfg, args.restore)
+    os.makedirs(args.out, exist_ok=True)
+
+    n = args.count
+    for i in range(n):
+        imgs, hws, rois = it.padded_validation_batch(1)
+        out = det.detect(imgs, hws)
+        h, w = int(hws[0][0]), int(hws[0][1])
+        img = np.asarray(imgs[0][:h, :w]).copy()
+        if cfg.color_space == "yuv":
+            img = yuv2rgb(img)
+        valid = np.asarray(out.valid[0])
+        boxes = np.asarray(out.proposal_boxes[0])
+        for b in boxes[valid]:
+            draw_rectangle(img, b, GREEN)
+        path = os.path.join(args.out, f"output{i + 1}.jpg")
+        save_image(img, path)
+        log.info("%s: %d detections", path, int(valid.sum()))
+
+
+def cmd_evaluate(args):
+    from frcnn_tpu.data.pipeline import BatchIterator
+    from frcnn_tpu.detect.evaluation import evaluate_map
+
+    cfg = build_config(args)
+    it = BatchIterator(cfg, args.train, seed=cfg.seed)
+    det = _make_detector(cfg, args.restore)
+    result = evaluate_map(cfg, det, it, max_images=args.count)
+    print(json.dumps(result, indent=2))
+
+
+def cmd_import_duplo(args):
+    from frcnn_tpu.data.importers import create_duplo_manifest
+
+    m = create_duplo_manifest(
+        args.name or "duplo", args.csv, args.background, args.out,
+        validation_size=args.val_size, seed=args.seed or 0,
+    )
+    log.info(
+        "Total images: %d; classes: %d; train: %d; val: %d; background: %d",
+        len(m["ground_truth"]), len(m["class_names"]),
+        len(m["training_set"]), len(m["validation_set"]),
+        len(m["background_files"]),
+    )
+
+
+def cmd_import_imagenet(args):
+    from frcnn_tpu.data.importers import create_imagenet_manifest
+
+    m = create_imagenet_manifest(
+        args.name or "ILSVRC2015_DET", args.base_dir,
+        "Annotations/DET/train", "Annotations/DET/val",
+        "Data/DET/train", "Data/DET/val",
+        background_dirs=[
+            f"Data/DET/train/ILSVRC2013_train_extra{i}" for i in range(11)
+        ],
+        output_path=args.out,
+    )
+    log.info(
+        "Total images: %d; classes: %d; train: %d; val: %d; background: %d",
+        len(m["ground_truth"]), len(m["class_names"]),
+        len(m["training_set"]), len(m["validation_set"]),
+        len(m["background_files"]),
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, train_required=True):
+        sp.add_argument("--cfg", default="duplo", help="config preset or JSON file")
+        sp.add_argument("--model", default=None, help="vgg_small | vgg_large")
+        sp.add_argument("--name", default="experiment", help="snapshot prefix")
+        sp.add_argument("--train", required=train_required,
+                        help="training manifest JSON")
+        sp.add_argument("--restore", default="", help="checkpoint to load")
+        sp.add_argument("--snapshot", type=int, default=None,
+                        help="snapshot interval (default 1000)")
+        sp.add_argument("--plot", type=int, default=None,
+                        help="plot interval (default 100)")
+        sp.add_argument("--lr", type=float, default=None)
+        sp.add_argument("--rms_decay", type=float, default=None)
+        sp.add_argument("--opti", default=None, help="rmsprop | sgd | nag")
+        sp.add_argument("--seed", type=int, default=0)
+
+    sp = sub.add_parser("train", help="joint RPN+classifier training")
+    common(sp)
+    sp.add_argument("--steps", type=int, default=None,
+                    help="override total steps (default 50000)")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("demo", help="draw detections on validation images")
+    common(sp)
+    sp.add_argument("--out", default="demo_out")
+    sp.add_argument("--count", type=int, default=50)
+    sp.set_defaults(fn=cmd_demo)
+
+    sp = sub.add_parser("evaluate", help="mAP on the validation split")
+    common(sp)
+    sp.add_argument("--count", type=int, default=200)
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("import-duplo", help="CSV -> manifest")
+    sp.add_argument("--csv", required=True)
+    sp.add_argument("--background", default=None)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--name", default="duplo")
+    sp.add_argument("--val-size", type=float, default=0.2)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_import_duplo)
+
+    sp = sub.add_parser("import-imagenet", help="ILSVRC2015 DET XML -> manifest")
+    sp.add_argument("--base-dir", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--name", default="ILSVRC2015_DET")
+    sp.set_defaults(fn=cmd_import_imagenet)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""End-to-end on a synthetic drawn-rectangle dataset (SURVEY.md §4 tier 3):
+import -> pipeline -> overfit a repeated batch -> losses drop; plus mAP
+machinery sanity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from frcnn_tpu.data.importers import create_duplo_manifest
+from frcnn_tpu.data.pipeline import BatchIterator, find_target_size
+from frcnn_tpu.detect.evaluation import compute_map
+from tests.tiny import tiny_config
+
+
+def make_dataset(tmp_path, n=10, w=200, h=160):
+    """Images with one bright rectangle each + CSV."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    rows = []
+    classes = ["Red", "Green", "Blue"]
+    colors = {"Red": (220, 40, 40), "Green": (40, 220, 40), "Blue": (40, 40, 220)}
+    for i in range(n):
+        img = np.full((h, w, 3), 30, np.uint8)
+        ci = i % 3
+        x0 = int(rng.integers(10, w - 90))
+        y0 = int(rng.integers(10, h - 80))
+        bw = int(rng.integers(50, 80))
+        bh = int(rng.integers(45, 70))
+        img[y0 : y0 + bh, x0 : x0 + bw] = colors[classes[ci]]
+        fn = f"img{i:03d}.png"
+        Image.fromarray(img).save(tmp_path / fn)
+        rows.append(
+            f'"{fn}", {x0}, {y0}, {x0 + bw}, {y0 + bh}, "{classes[ci]}", {ci}, "M", 0'
+        )
+    (tmp_path / "boxes.csv").write_text("\n".join(rows))
+    return create_duplo_manifest(
+        "synthetic", str(tmp_path / "boxes.csv"), None,
+        str(tmp_path / "manifest.json"),
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("synth")
+    manifest = make_dataset(tmp)
+    return tmp, manifest
+
+
+def make_cfg(tmp):
+    cfg = tiny_config()
+    return cfg.replace(
+        target_smaller_side=128,
+        max_pixel_size=192,
+        examples_base_path=str(tmp),
+    )
+
+
+def test_find_target_size():
+    # 200x160 at smaller-side 128 capped 192 -> 160x128
+    assert find_target_size(200, 160, 128, 192) == (160, 128)
+    # cap kicks in: 1000x200 at 450/600 -> w capped to 600
+    w, h = find_target_size(1000, 200, 450, 600)
+    assert w == 600 and h == 120
+
+
+def test_pipeline_batches(dataset):
+    tmp, _ = dataset
+    cfg = make_cfg(tmp)
+    it = BatchIterator(cfg, str(tmp / "manifest.json"), seed=1)
+    batch = it.next_training_batch()
+    B = cfg.shapes.images_per_step
+    H, W = cfg.shapes.image_hw
+    assert batch.image.shape == (B, H, W, 3)
+    assert batch.true_hw.shape == (B, 2)
+    # all slots foreground (no background files)
+    assert not batch.is_background.any()
+    assert batch.gt_mask.any(axis=1).all()   # every image has a box
+    # boxes live inside the true image area
+    for b in range(B):
+        h, w = batch.true_hw[b]
+        for g in np.nonzero(batch.gt_mask[b])[0]:
+            box = batch.gt_boxes[b, g]
+            assert 0 <= box[0] < box[2] <= w + 1e-3
+            assert 0 <= box[1] < box[3] <= h + 1e-3
+
+
+def test_pipeline_flip_consistency(dataset):
+    """With deterministic flips, GT rects track pixel content: the bright
+    rectangle's pixel bbox must match the transformed ROI."""
+    tmp, _ = dataset
+    cfg = make_cfg(tmp).replace()
+    it = BatchIterator(cfg, str(tmp / "manifest.json"), seed=3)
+    batch = it.next_training_batch()
+    for b in range(cfg.shapes.images_per_step):
+        h, w = batch.true_hw[b]
+        img = np.asarray(batch.image[b][:h, :w])
+        lum = img.sum(-1)
+        ys, xs = np.nonzero(lum > lum.mean() + lum.std())
+        if len(xs) < 50:
+            continue
+        px_box = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        g = np.nonzero(batch.gt_mask[b])[0][0]
+        gt = batch.gt_boxes[b, g]
+        for a, c in zip(px_box, gt):
+            assert abs(a - c) <= 4.0, (px_box, gt)
+
+
+def test_validation_batch(dataset):
+    tmp, _ = dataset
+    cfg = make_cfg(tmp)
+    it = BatchIterator(cfg, str(tmp / "manifest.json"), seed=2)
+    items = it.next_validation(2)
+    assert len(items) == 2
+    for x in items:
+        assert x["image"].ndim == 3
+        assert len(x["rois"]) >= 1
+
+
+def test_overfit_repeated_batch(dataset):
+    """Loss on a single repeated batch must drop substantially."""
+    import jax
+
+    from frcnn_tpu.parallel.mesh import make_mesh
+    from frcnn_tpu.train.trainer import Trainer
+
+    tmp, _ = dataset
+    cfg = make_cfg(tmp).replace(learning_rate=2e-3)
+    it = BatchIterator(cfg, str(tmp / "manifest.json"), seed=4)
+    batch = it.next_training_batch()
+    tr = Trainer(cfg, mesh=make_mesh(n_devices=2))
+    losses = [tr.run_step(batch)["pcls"] for _ in range(12)]
+    first = np.mean(losses[:3])
+    last = np.mean(losses[-3:])
+    assert last < first * 0.7, losses
+
+
+def test_compute_map_sanity():
+    gt = [
+        {"image": 0, "class": 0, "box": [0, 0, 10, 10]},
+        {"image": 0, "class": 1, "box": [20, 20, 40, 40]},
+        {"image": 1, "class": 0, "box": [5, 5, 15, 15]},
+    ]
+    perfect = [
+        {"image": g["image"], "class": g["class"], "score": 0.9, "box": g["box"]}
+        for g in gt
+    ]
+    r = compute_map(perfect, gt, num_classes=3)
+    assert r["mAP"] == pytest.approx(1.0)
+    # a false positive at higher score drags AP below 1
+    noisy = perfect + [
+        {"image": 1, "class": 0, "score": 0.95, "box": [100, 100, 120, 120]}
+    ]
+    r2 = compute_map(noisy, gt, num_classes=3)
+    assert r2["mAP"] < 1.0
+    # empty detections -> mAP 0
+    assert compute_map([], gt, 3)["mAP"] == 0.0
