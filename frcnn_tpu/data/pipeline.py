@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import random
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -147,9 +148,16 @@ class _OrderedSet:
 
 
 class BatchIterator:
-    """Yields fixed-shape :class:`TrainBatch` structures."""
+    """Yields fixed-shape :class:`TrainBatch` structures.
 
-    def __init__(self, cfg: Config, manifest, seed: Optional[int] = None):
+    When the native C++ host pipeline (csrc/host_pipeline.cpp) is available
+    and the config is compatible (no random scaling; rgb/yuv color space —
+    YUV is linear so it commutes with the linear resampler), whole batches
+    are decoded+resized+converted in one GIL-releasing threaded call.
+    """
+
+    def __init__(self, cfg: Config, manifest, seed: Optional[int] = None,
+                 use_native: Optional[bool] = None):
         if isinstance(manifest, str):
             manifest = load_manifest(manifest)
         self.cfg = cfg
@@ -161,6 +169,17 @@ class BatchIterator:
         self.background = _OrderedSet(
             manifest.get("background_files", []), self.rng
         )
+        from frcnn_tpu.data import native as _native
+
+        native_ok = (
+            cfg.augmentation.random_scaling == 0
+            and cfg.color_space in ("rgb", "yuv", "", None)
+        )
+        if use_native is None:
+            self.use_native = native_ok and _native.available()
+        else:
+            self.use_native = use_native and native_ok and _native.available()
+        self._native = _native
 
     # -- per-image processing -------------------------------------------------
 
@@ -276,9 +295,73 @@ class BatchIterator:
             gt_mask[i] = True
         return canvas, (h, w), gt_boxes, gt_cls, gt_mask
 
+    # -- native fast path ------------------------------------------------------
+
+    def _resolve(self, fn: str, base: str) -> str:
+        return fn if fn.startswith("/") or not base else os.path.join(base, fn)
+
+    def _native_slots(self, n: int, background: bool, augment: bool = True):
+        """Decode+process ``n`` images through the C++ pipeline (threaded),
+        with skip-and-top-up for corrupt/small files. Returns slot tuples
+        (canvas, (h, w), rois)."""
+        cfg = self.cfg
+        H, W = cfg.shapes.image_hw
+        slots = []
+        guard = 0
+        src = self.background if background else self.training
+        base = cfg.background_base_path if background else cfg.examples_base_path
+        while len(slots) < n and guard < 10 * n + 20:
+            guard += 1
+            want = n - len(slots)
+            names = [src.next() for _ in range(want)]
+            paths = [self._resolve(f, base) for f in names]
+            aug = cfg.augmentation
+            flips = np.zeros((want, 2), np.int32)
+            if augment:
+                for i in range(want):
+                    flips[i, 0] = aug.hflip > 0 and self.rng.random() < aug.hflip
+                    flips[i, 1] = aug.vflip > 0 and self.rng.random() < aug.vflip
+            out = self._native.load_process_batch(
+                paths, (H, W), cfg.target_smaller_side, cfg.max_pixel_size,
+                cfg.color_space, flips=flips,
+            )
+            canvases, out_hw, status = out
+            for i in range(want):
+                if status[i] != 0:
+                    log.warning("Invalid image '%s' (native rc=%d)", names[i], status[i])
+                    continue
+                h, w, oh, ow = (int(v) for v in out_hw[i])
+                if h < 128 or w < 128:
+                    log.warning("Skipping '%s': too small (%dx%d)", names[i], w, h)
+                    continue
+                rois = []
+                if not background:
+                    entry = self.ground_truth.get(names[i])
+                    sx, sy = w / ow, h / oh
+                    raw = [dict(r) for r in (entry["rois"] if entry else [])]
+                    rois = _transform_rois(
+                        raw,
+                        lambda r: [r[0] * sx, r[1] * sy, r[2] * sx, r[3] * sy],
+                        ow, oh, w, h,
+                    )
+                    if flips[i, 0]:
+                        rois = _transform_rois(
+                            rois, lambda r: [w - r[2], r[1], w - r[0], r[3]],
+                            w, h, w, h,
+                        )
+                    if flips[i, 1]:
+                        rois = _transform_rois(
+                            rois, lambda r: [r[0], h - r[3], r[2], h - r[1]],
+                            w, h, w, h,
+                        )
+                slots.append((canvases[i], (h, w), rois))
+        return slots
+
     def next_training_batch(self) -> TrainBatch:
         s = self.cfg.shapes
         B = s.images_per_step
+        if self.use_native:
+            return self._next_training_batch_native()
         imgs, hws, boxes, clss, masks, isbg = [], [], [], [], [], []
 
         def add(img, rois, bg: bool):
@@ -316,6 +399,41 @@ class BatchIterator:
             gt_classes=np.stack(clss),
             gt_mask=np.stack(masks),
             is_background=np.asarray(isbg, bool),
+        )
+
+    def _next_training_batch_native(self) -> TrainBatch:
+        s = self.cfg.shapes
+        B = s.images_per_step
+        H, W = s.image_hw
+        G = s.max_gt
+        n_bg = 1 if (len(self.background) > 0 and B > 1) else 0
+        slots = []
+        if n_bg:
+            slots += [(c, hw, [], True) for (c, hw, _) in
+                      self._native_slots(n_bg, background=True)]
+        slots += [(c, hw, rois, False) for (c, hw, rois) in
+                  self._native_slots(B - len(slots), background=False)]
+
+        imgs = np.zeros((B, H, W, 3), np.float32)
+        hws = np.zeros((B, 2), np.int32)
+        gt_boxes = np.zeros((B, G, 4), np.float32)
+        gt_cls = np.zeros((B, G), np.int32)
+        gt_mask = np.zeros((B, G), bool)
+        isbg = np.zeros((B,), bool)
+        for b, (canvas, hw, rois, bg) in enumerate(slots):
+            imgs[b] = canvas
+            hws[b] = hw
+            isbg[b] = bg
+            if len(rois) > G:
+                log.warning("truncating %d ROIs to %d", len(rois), G)
+                rois = rois[:G]
+            for i, r in enumerate(rois):
+                gt_boxes[b, i] = r["rect"]
+                gt_cls[b, i] = r["class_index"]
+                gt_mask[b, i] = True
+        return TrainBatch(
+            image=imgs, true_hw=hws, gt_boxes=gt_boxes, gt_classes=gt_cls,
+            gt_mask=gt_mask, is_background=isbg,
         )
 
     def next_validation(self, count: int = 1):
