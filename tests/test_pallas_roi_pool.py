@@ -1,0 +1,77 @@
+"""Pallas ROI pool (interpret mode on CPU) vs the XLA formulation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frcnn_tpu.ops.pallas_roi_pool import pallas_adaptive_max_pool
+from frcnn_tpu.ops.roi_pool import adaptive_max_pool
+
+
+def random_rects(rng, n, W, H):
+    out = []
+    for _ in range(n):
+        x0 = int(rng.integers(0, W - 1))
+        y0 = int(rng.integers(0, H - 1))
+        out.append([x0, y0, int(rng.integers(x0 + 1, W + 1)),
+                    int(rng.integers(y0 + 1, H + 1))])
+    return np.array(out, np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_pool_matches_xla(seed):
+    rng = np.random.default_rng(seed)
+    B, H, W, C = 2, 29, 50, 128
+    fm = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    rects = np.stack([random_rects(rng, 16, W, H) for _ in range(B)])
+    got = np.asarray(
+        pallas_adaptive_max_pool(jnp.asarray(fm), jnp.asarray(rects), 6, 6, True)
+    )
+    expect = np.asarray(
+        jax.vmap(lambda f, r: adaptive_max_pool(f, r, 6, 6))(
+            jnp.asarray(fm), jnp.asarray(rects)
+        )
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_pallas_pool_small_regions():
+    rng = np.random.default_rng(3)
+    B, H, W, C = 1, 20, 24, 128
+    fm = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    rects = np.array([[[3, 4, 5, 6], [0, 0, 1, 1], [10, 10, 24, 20]]],
+                     np.float32)
+    got = np.asarray(
+        pallas_adaptive_max_pool(jnp.asarray(fm), jnp.asarray(rects), 6, 6, True)
+    )
+    expect = np.asarray(
+        jax.vmap(lambda f, r: adaptive_max_pool(f, r, 6, 6))(
+            jnp.asarray(fm), jnp.asarray(rects)
+        )
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+    assert np.isfinite(got).all()
+
+
+def test_pallas_pool_gradient():
+    rng = np.random.default_rng(4)
+    B, H, W, C = 1, 12, 16, 128
+    fm = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    rects = np.array([[[2, 2, 14, 10]]], np.float32)
+
+    def f_pallas(x):
+        return jnp.sum(
+            pallas_adaptive_max_pool(x, jnp.asarray(rects), 3, 3, True) ** 2
+        )
+
+    def f_xla(x):
+        return jnp.sum(
+            jax.vmap(lambda f, r: adaptive_max_pool(f, r, 3, 3))(
+                x, jnp.asarray(rects)
+            ) ** 2
+        )
+
+    g1 = np.asarray(jax.grad(f_pallas)(jnp.asarray(fm)))
+    g2 = np.asarray(jax.grad(f_xla)(jnp.asarray(fm)))
+    np.testing.assert_allclose(g1, g2, rtol=1e-5)
