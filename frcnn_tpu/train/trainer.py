@@ -63,8 +63,13 @@ class TrainingStats:
 
 
 class Trainer:
-    def __init__(self, cfg: Config, mesh=None, rng: Optional[jax.Array] = None):
+    def __init__(self, cfg: Config, mesh=None, rng: Optional[jax.Array] = None,
+                 metrics_path: Optional[str] = None):
+        from frcnn_tpu.utils.metrics import MetricsLogger, StepTimer
+
         self.cfg = cfg
+        self.timer = StepTimer()
+        self.metrics_logger = MetricsLogger(metrics_path)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.gen = AnchorGenerator(cfg)
         self.pnet, self.cnet = create_models(cfg)
@@ -101,6 +106,7 @@ class Trainer:
         )
 
     def run_step(self, batch: TrainBatch) -> Dict[str, float]:
+        self.timer.start()
         self.step_rng, k = jax.random.split(self.step_rng)
         batch = shard_batch(self.mesh, batch)
         self.params, self.batch_stats, self.opt_state, metrics = self._train_step(
@@ -108,7 +114,9 @@ class Trainer:
         )
         self.step += 1
         metrics = {k2: float(v) for k2, v in metrics.items()}
+        metrics["step_time_s"] = self.timer.stop()
         self.stats.append(metrics)
+        self.metrics_logger.log(self.step, metrics)
         return metrics
 
     # -- checkpointing --------------------------------------------------------

@@ -81,7 +81,7 @@ def cmd_train(args):
         len(m.get("background_files", [])),
     )
 
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, metrics_path=f"{args.name}_metrics.jsonl")
     if args.restore:
         trainer.restore_snapshot(args.restore)
         log.info("restored %s at step %d", args.restore, trainer.step)
