@@ -1,0 +1,74 @@
+"""Int8 serving path: numerical closeness to the fp32 forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frcnn_tpu.models.factory import create_models, init_params
+from frcnn_tpu.models.quant import (
+    QuantizedPNetAdapter,
+    quant_pnet_apply,
+    quantize_pnet_params,
+)
+from tests.tiny import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    pnet, cnet = create_models(cfg)
+    params, stats = init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_pnet_params(params, cfg.model)
+    return cfg, pnet, params, qparams
+
+
+def _cos(a, b):
+    a = a.reshape(-1).astype(np.float64)
+    b = b.reshape(-1).astype(np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def test_quant_forward_close_to_fp32(setup):
+    cfg, pnet, params, qparams = setup
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, H, W, 3)).astype(np.float32))
+    amaps_f, fm_f = pnet.apply({"params": params["pnet"]}, x, train=False)
+    amaps_q, fm_q = quant_pnet_apply(qparams, cfg.model, x, act_dtype=jnp.float32)
+    assert fm_q.shape == fm_f.shape
+    for mf, mq in zip(amaps_f, amaps_q):
+        assert mq.shape == mf.shape
+        assert _cos(np.asarray(mf), np.asarray(mq)) > 0.995
+    assert _cos(np.asarray(fm_f), np.asarray(fm_q)) > 0.995
+
+
+def test_quant_weights_are_int8(setup):
+    cfg, pnet, params, qparams = setup
+    w = qparams["block0_conv0"]["w_int8"]
+    assert w.dtype == jnp.int8
+    assert int(jnp.max(jnp.abs(w.astype(jnp.int32)))) <= 127
+    # per-out-channel scale round-trips the extreme weight
+    orig = params["pnet"]["block0_conv0"]["kernel"]
+    recon = w.astype(jnp.float32) * qparams["block0_conv0"]["scale"]
+    rel = float(jnp.max(jnp.abs(recon - orig)) / jnp.max(jnp.abs(orig)))
+    assert rel < 0.01
+
+
+def test_quant_adapter_in_detector(setup):
+    cfg, pnet, params, qparams = setup
+    from frcnn_tpu.detect.detector import build_detect_fn
+    from frcnn_tpu.geometry.anchors import AnchorGenerator
+    from frcnn_tpu.models.factory import create_models, init_params
+
+    gen = AnchorGenerator(cfg)
+    _, cnet = create_models(cfg)
+    _, stats = init_params(cfg, jax.random.PRNGKey(0))
+    adapter = QuantizedPNetAdapter(cfg.model, qparams, act_dtype=jnp.float32)
+    detect = build_detect_fn(cfg, gen, adapter, cnet)
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.normal(0.3, 0.2, (1, H, W, 3)).astype(np.float32))
+    hw = jnp.asarray([[H, W]], jnp.int32)
+    out = detect(params, stats, imgs, hw)
+    assert out.boxes.shape[0] == 1  # runs end to end
