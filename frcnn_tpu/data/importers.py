@@ -19,7 +19,6 @@ import json
 import os
 import random
 import xml.etree.ElementTree as ET
-from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 

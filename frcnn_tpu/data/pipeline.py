@@ -32,7 +32,7 @@ import logging
 import math
 import os
 import random
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -157,14 +157,22 @@ class BatchIterator:
     """
 
     def __init__(self, cfg: Config, manifest, seed: Optional[int] = None,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 shard_index: int = 0, num_shards: int = 1):
+        """``shard_index``/``num_shards``: multi-host input sharding — each
+        process iterates a disjoint stride of the training list (DCN-side
+        data split; the device mesh handles the ICI-side DP)."""
         if isinstance(manifest, str):
             manifest = load_manifest(manifest)
         self.cfg = cfg
         self.manifest = manifest
         self.ground_truth = manifest["ground_truth"]
-        self.rng = random.Random(seed if seed is not None else cfg.seed)
-        self.training = _OrderedSet(manifest["training_set"], self.rng)
+        self.rng = random.Random(
+            (seed if seed is not None else cfg.seed) + shard_index
+        )
+        train_list = manifest["training_set"][shard_index::num_shards] or \
+            manifest["training_set"]
+        self.training = _OrderedSet(train_list, self.rng)
         self.validation = _OrderedSet(manifest["validation_set"], self.rng)
         self.background = _OrderedSet(
             manifest.get("background_files", []), self.rng

@@ -27,7 +27,6 @@ reference's evaluation demo draws, ``main.lua:209``).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -182,13 +181,26 @@ class Detector:
     """Convenience wrapper holding jitted detect for a fixed config."""
 
     def __init__(self, cfg: Config, params, batch_stats, gen=None,
-                 pnet=None, cnet=None):
+                 pnet=None, cnet=None, quantized: bool = False):
+        """``quantized=True`` swaps the backbone for the int8 serving path
+        (models/quant.py) — weights quantized once from the same params."""
         from frcnn_tpu.models.factory import create_models
 
         self.cfg = cfg
         self.gen = gen or AnchorGenerator(cfg)
         if pnet is None or cnet is None:
             pnet, cnet = create_models(cfg)
+        if quantized:
+            from frcnn_tpu.models.factory import compute_dtype
+            from frcnn_tpu.models.quant import (
+                QuantizedPNetAdapter,
+                quantize_pnet_params,
+            )
+
+            qparams = quantize_pnet_params(params, cfg.model)
+            pnet = QuantizedPNetAdapter(
+                cfg.model, qparams, act_dtype=compute_dtype(cfg)
+            )
         self.pnet, self.cnet = pnet, cnet
         self.params = params
         self.batch_stats = batch_stats

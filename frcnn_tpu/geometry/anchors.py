@@ -27,7 +27,7 @@ from typing import List, Sequence, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from frcnn_tpu.config import Config, ModelConfig
+from frcnn_tpu.config import Config
 from frcnn_tpu.geometry.localizer import (
     Localizer,
     layer_infos_for_feature_map,

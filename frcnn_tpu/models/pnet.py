@@ -17,7 +17,7 @@ init, biases zero (``model_utilities.lua:60-71``).
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any, List
 
 import jax.numpy as jnp
 from flax import linen as nn

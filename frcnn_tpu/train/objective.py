@@ -34,7 +34,7 @@ series pcls/preg/dcls/dreg (``objective.lua:202-214``); the returned scalar
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

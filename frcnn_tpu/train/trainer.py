@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +90,18 @@ class Trainer:
             )(params, batch_stats, batch, rng)
             updates, new_opt = self.tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
+            # failure containment: a non-finite objective (corrupt batch,
+            # numeric blowup) skips the update instead of poisoning the
+            # weights — the step is logged via metrics['skipped'].
+            ok = jnp.isfinite(total)
+            new_params = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_params, params
+            )
+            new_opt = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
+            )
+            metrics = dict(metrics)
+            metrics["skipped"] = (~ok).astype(jnp.float32)
             return new_params, new_bs, new_opt, metrics
 
         rep = replicated_sharding(self.mesh)

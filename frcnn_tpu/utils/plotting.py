@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Dict, List
-
 
 def plot_training_progress(prefix: str, stats) -> str:
     """stats: TrainingStats or dict of the four series."""
