@@ -70,7 +70,14 @@ class Trainer:
         self.cfg = cfg
         self.timer = StepTimer()
         self.metrics_logger = MetricsLogger(metrics_path)
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            # the batch axis must divide over the data axis; use the largest
+            # device count that divides images_per_step
+            n = len(jax.devices())
+            while n > 1 and cfg.shapes.images_per_step % n != 0:
+                n -= 1
+            mesh = make_mesh(n_devices=n)
+        self.mesh = mesh
         self.gen = AnchorGenerator(cfg)
         self.pnet, self.cnet = create_models(cfg)
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed or 0)

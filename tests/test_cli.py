@@ -1,0 +1,73 @@
+"""CLI surface end-to-end on the synthetic dataset (tiny config JSON):
+import-duplo -> train 2 steps (+snapshot+plot+metrics) -> restore ->
+demo -> evaluate."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import main as cli
+from tests.test_e2e_synthetic import make_dataset
+from tests.tiny import tiny_config
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    make_dataset(tmp, n=8)
+    cfg = tiny_config().replace(
+        target_smaller_side=128,
+        max_pixel_size=192,
+        examples_base_path=str(tmp),
+        snapshot_interval=2,
+        plot_interval=2,
+    )
+    cfg_path = tmp / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    return tmp, str(cfg_path)
+
+
+def test_import_and_train_and_demo(workdir, monkeypatch):
+    tmp, cfg_path = workdir
+    monkeypatch.chdir(tmp)
+
+    # import (the manifest from make_dataset already exists; regenerate via CLI)
+    cli.main([
+        "import-duplo", "--csv", str(tmp / "boxes.csv"),
+        "--out", str(tmp / "m2.json"), "--name", "synthetic",
+    ])
+    assert os.path.exists(tmp / "m2.json")
+
+    cli.main([
+        "train", "--cfg", cfg_path, "--train", str(tmp / "m2.json"),
+        "--name", "cli_test", "--steps", "2",
+    ])
+    assert os.path.exists(tmp / "cli_test_000002.ckpt")
+    assert os.path.exists(tmp / "cli_test_progress.png")
+    assert os.path.exists(tmp / "cli_test_progress.csv")
+    assert os.path.exists(tmp / "cli_test_metrics.jsonl")
+    with open(tmp / "cli_test_metrics.jsonl") as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 2 and "pcls" in recs[0] and "step_time_s" in recs[0]
+
+    cli.main([
+        "demo", "--cfg", cfg_path, "--train", str(tmp / "m2.json"),
+        "--restore", str(tmp / "cli_test_000002.ckpt"),
+        "--out", str(tmp / "demo"), "--count", "2",
+    ])
+    assert os.path.exists(tmp / "demo" / "output1.jpg")
+    assert os.path.exists(tmp / "demo" / "output2.jpg")
+
+
+def test_evaluate_runs(workdir, monkeypatch, capsys):
+    tmp, cfg_path = workdir
+    monkeypatch.chdir(tmp)
+    cli.main([
+        "evaluate", "--cfg", cfg_path, "--train", str(tmp / "manifest.json"),
+        "--count", "2",
+    ])
+    out = capsys.readouterr().out
+    result = json.loads(out)
+    assert "mAP" in result and result["num_images"] == 2
