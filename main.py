@@ -102,7 +102,11 @@ def cmd_train(args):
             plot_training_progress(args.name, trainer.stats)
         if cfg.snapshot_interval and i % cfg.snapshot_interval == 0:
             path = f"{args.name}_{i:06d}.ckpt"
-            trainer.save_snapshot(path, options=vars(args))
+            options = {
+                k: v for k, v in vars(args).items()
+                if isinstance(v, (str, int, float, bool, type(None)))
+            }
+            trainer.save_snapshot(path, options=options)
             log.info("snapshot %s (%.1fs since last report)",
                      path, time.perf_counter() - t_report)
             t_report = time.perf_counter()
