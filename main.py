@@ -257,7 +257,16 @@ def main(argv=None):
     sp.add_argument("--name", default="ILSVRC2015_DET")
     sp.set_defaults(fn=cmd_import_imagenet)
 
+    p.add_argument(
+        "--platform", default=os.environ.get("FRCNN_TPU_PLATFORM", ""),
+        help="pin the jax platform (e.g. 'cpu', 'tpu'); also via "
+             "FRCNN_TPU_PLATFORM. Overrides environment-forced backends.",
+    )
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 
