@@ -62,6 +62,11 @@ def build_config(args):
     return cfg.replace(**overrides) if overrides else cfg
 
 
+def _require_file(path: str, what: str):
+    if path and not os.path.exists(path):
+        raise SystemExit(f"{what} not found: {path!r}")
+
+
 def cmd_train(args):
     """50,000-step training loop with loss printing, periodic plots and
     snapshots, restart-safe (``graph_training``)."""
@@ -69,6 +74,8 @@ def cmd_train(args):
     from frcnn_tpu.train.trainer import Trainer
     from frcnn_tpu.utils.plotting import plot_training_progress
 
+    _require_file(args.train, "training manifest")
+    _require_file(args.restore, "checkpoint")
     cfg = build_config(args)
     log.info("config: %s classes=%d scales=%s", args.cfg, cfg.class_count, cfg.scales)
 
@@ -113,6 +120,7 @@ def cmd_train(args):
 
 
 def _make_detector(cfg, restore):
+    _require_file(restore, "checkpoint")
     import jax
 
     from frcnn_tpu.detect.detector import Detector
@@ -136,6 +144,7 @@ def cmd_demo(args):
     from frcnn_tpu.ops.color import yuv2rgb
     from frcnn_tpu.utils.drawing import GREEN, draw_rectangle, save_image
 
+    _require_file(args.train, "training manifest")
     cfg = build_config(args)
     it = BatchIterator(cfg, args.train, seed=cfg.seed)
     det = _make_detector(cfg, args.restore)
