@@ -207,6 +207,11 @@ class Config:
     # MXU, 'float32' for strict parity testing). Params are always fp32.
     compute_dtype: str = "bfloat16"
 
+    # Pallas kernel usage in the detect path: 'off' (XLA formulations),
+    # 'on' (Pallas ROI pool + NMS), 'interpret' (Pallas in interpreter
+    # mode, for CPU testing of the kernel path).
+    pallas_mode: str = "off"
+
     @property
     def num_classes_with_bg(self) -> int:
         return self.class_count + 1

@@ -38,7 +38,7 @@ from frcnn_tpu.geometry.anchors import AnchorGenerator
 from frcnn_tpu.geometry.matching import compact_mask
 from frcnn_tpu.models.cnet import ClassificationNet
 from frcnn_tpu.models.pnet import ProposalNet
-from frcnn_tpu.ops.nms import nms, per_class_nms
+from frcnn_tpu.ops.nms import nms
 from frcnn_tpu.ops.normalization import normalize_image
 from frcnn_tpu.ops.roi_pool import adaptive_max_pool, prepare_roi_rects
 from frcnn_tpu.train.objective import _flatten_batched
@@ -74,6 +74,27 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
     D = s.max_detections
     fm_loc = gen.fm_localizer
     bg = cfg.class_count
+    use_pallas = cfg.pallas_mode in ("on", "interpret")
+    interpret = cfg.pallas_mode == "interpret"
+
+    def batched_nms(boxes_b, scores_b, valid_b, thr, max_out):
+        if use_pallas:
+            from frcnn_tpu.ops.pallas_nms import pallas_nms
+
+            return pallas_nms(boxes_b, scores_b, valid_b, thr, max_out,
+                              interpret=interpret)
+        return jax.vmap(lambda b, sc, v: nms(b, sc, v, thr, max_out))(
+            boxes_b, scores_b, valid_b
+        )
+
+    def batched_pool(fm_b, rects_b):
+        if use_pallas:
+            from frcnn_tpu.ops.pallas_roi_pool import pallas_adaptive_max_pool
+
+            return pallas_adaptive_max_pool(fm_b, rects_b, kh, kw, interpret)
+        return jax.vmap(lambda f, r: adaptive_max_pool(f, r, kh, kw))(
+            fm_b, rects_b
+        )
 
     def detect(params, batch_stats, images, true_hw):
         if normalize_inputs:
@@ -92,51 +113,50 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
         )
         pred = _flatten_batched(gen, anchor_maps)  # [B, A, 6]
 
-        def one_image(pred_i, fm_i, hw):
-            h, w = hw[0], hw[1]
-            logp = jax.nn.log_softmax(pred_i[:, 0:2], axis=-1)
-            score = logp[:, 0]                      # log P(fg), the NMS score
-            p_fg = jnp.exp(score)
-            decoded = B.decode(anchor_boxes, pred_i[:, 2:6])
-            img_rect = jnp.stack(
-                [jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-                 w.astype(jnp.float32), h.astype(jnp.float32)]
-            )
-            keep = (
-                (p_fg > FG_THRESHOLD)
-                & B.overlaps(decoded, img_rect)
-                & gen.fm_valid_mask(h, w)
-            )
-
-            # Candidates into the proposal NMS. The reference keeps ALL
-            # gated proposals (no cap); we carry up to K. Selection is an
-            # O(A) compaction (cumsum+scatter) rather than a top-K sort —
-            # the candidate SET is identical whenever <= K anchors pass the
-            # 0.95 gate (always, on real scenes); if more pass, the first K
-            # in canonical anchor order are kept. NMS re-sorts by score.
-            top_idx, top_valid, _ = compact_mask(keep, K)
-            safe_top = jnp.maximum(top_idx, 0)
-            top_boxes = decoded[safe_top]
-            top_scores = jnp.where(top_valid, score[safe_top], -jnp.inf)
-
-            nms_idx, nms_valid = nms(
-                top_boxes, top_scores, top_valid, PROPOSAL_NMS_IOU, D
-            )
-            cand = jnp.take(top_idx, jnp.maximum(nms_idx, 0))
-            prop_boxes = decoded[cand]              # [D, 4] proposals r
-            prop_score = p_fg[cand]
-
-            # ROI pool proposals on the true-size feature map
-            fw, fh = fm_loc.feature_map_size_jax(w, h)
-            fr = prepare_roi_rects(
-                fm_loc.input_to_feature_rect_jax(prop_boxes), fw, fh
-            )
-            pooled = adaptive_max_pool(fm_i, fr, kh, kw).reshape(D, -1)
-            return (prop_boxes, prop_score, nms_valid, pooled)
-
-        prop_boxes, prop_score, prop_valid, pooled = jax.vmap(one_image)(
-            pred, fm, true_hw
+        h = true_hw[:, 0]
+        w = true_hw[:, 1]
+        logp = jax.nn.log_softmax(pred[..., 0:2], axis=-1)
+        score = logp[..., 0]                      # log P(fg), the NMS score
+        p_fg = jnp.exp(score)
+        decoded = B.decode(anchor_boxes[None], pred[..., 2:6])  # [B, A, 4]
+        img_rect = jnp.stack(
+            [jnp.zeros_like(w, jnp.float32), jnp.zeros_like(w, jnp.float32),
+             w.astype(jnp.float32), h.astype(jnp.float32)], axis=-1
+        )  # [B, 4]
+        keep = (
+            (p_fg > FG_THRESHOLD)
+            & B.overlaps(decoded, img_rect[:, None, :])
+            & jax.vmap(gen.fm_valid_mask)(h, w)
         )
+
+        # Candidates into the proposal NMS. The reference keeps ALL gated
+        # proposals (no cap); we carry up to K. Selection is an O(A)
+        # compaction (cumsum+scatter) rather than a top-K sort — the
+        # candidate SET is identical whenever <= K anchors pass the 0.95
+        # gate (always, on real scenes); if more pass, the first K in
+        # canonical anchor order are kept. NMS re-sorts by score.
+        top_idx, top_valid, _ = jax.vmap(lambda m: compact_mask(m, K))(keep)
+        safe_top = jnp.maximum(top_idx, 0)
+        top_boxes = jnp.take_along_axis(decoded, safe_top[:, :, None], axis=1)
+        top_scores = jnp.where(
+            top_valid, jnp.take_along_axis(score, safe_top, axis=1), -jnp.inf
+        )
+
+        nms_idx, prop_valid = batched_nms(
+            top_boxes, top_scores, top_valid, PROPOSAL_NMS_IOU, D
+        )
+        cand = jnp.take_along_axis(top_idx, jnp.maximum(nms_idx, 0), axis=1)
+        cand = jnp.maximum(cand, 0)
+        prop_boxes = jnp.take_along_axis(decoded, cand[:, :, None], axis=1)
+        prop_score = jnp.take_along_axis(p_fg, cand, axis=1)
+
+        # ROI pool proposals on the true-size feature map
+        fw, fh = fm_loc.feature_map_size_jax(w, h)          # [B], [B]
+        fr = prepare_roi_rects(
+            fm_loc.input_to_feature_rect_jax(prop_boxes),
+            fw[:, None].astype(jnp.float32), fh[:, None].astype(jnp.float32),
+        )
+        pooled = batched_pool(fm, fr).reshape(fm.shape[0], D, -1)
 
         # one cnet batch over B x D candidates (eval: running stats)
         creg, clogp = cnet.apply(
@@ -149,19 +169,21 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
         conf = jnp.exp(jnp.max(clogp, axis=-1))
         accept = prop_valid & (cls != bg) & (conf > CONFIDENCE_THRESHOLD)
 
-        def final_nms(boxes_i, conf_i, cls_i, ok_i):
-            idx, v = per_class_nms(
-                boxes_i, jnp.log(jnp.maximum(conf_i, 1e-20)), cls_i, ok_i,
-                cfg.num_classes_with_bg, CLASS_NMS_IOU, D,
-            )
-            safe = jnp.maximum(idx, 0)
-            return (
-                boxes_i[safe], cls_i[safe], conf_i[safe], safe, v
-            )
-
-        f_boxes, f_cls, f_conf, f_src, f_valid = jax.vmap(final_nms)(
-            refined, conf, cls, accept
+        # per-class NMS via the coordinate-offset trick, batched
+        span = (
+            jnp.max(jnp.where(accept, jnp.max(refined, axis=-1), 0.0))
+            - jnp.min(jnp.where(accept, jnp.min(refined, axis=-1), 0.0))
+            + 2.0
         )
+        shifted = refined + (cls.astype(refined.dtype) * span)[:, :, None]
+        fin_idx, f_valid = batched_nms(
+            shifted, jnp.log(jnp.maximum(conf, 1e-20)), accept,
+            CLASS_NMS_IOU, D,
+        )
+        f_src = jnp.maximum(fin_idx, 0)
+        f_boxes = jnp.take_along_axis(refined, f_src[:, :, None], axis=1)
+        f_cls = jnp.take_along_axis(cls, f_src, axis=1)
+        f_conf = jnp.take_along_axis(conf, f_src, axis=1)
         f_prop = jnp.take_along_axis(prop_boxes, f_src[:, :, None], axis=1)
         f_fg = jnp.take_along_axis(prop_score, f_src, axis=1)
 

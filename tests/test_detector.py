@@ -109,3 +109,23 @@ def test_detect_deterministic(setup):
     o2 = detect(p, stats, imgs, hw)
     np.testing.assert_array_equal(np.asarray(o1.boxes), np.asarray(o2.boxes))
     np.testing.assert_array_equal(np.asarray(o1.valid), np.asarray(o2.valid))
+
+
+def test_pallas_detect_path_matches_xla(setup):
+    """pallas_mode='interpret' runs the Pallas NMS + ROI-pool kernels in
+    the full detect program; results must match the XLA path exactly."""
+    cfg, gen, pnet, cnet, params, stats, detect = setup
+    p = _force_fg_params(cfg, params)
+    imgs, hw = _images(cfg, np.random.default_rng(6))
+
+    cfg_k = cfg.replace(pallas_mode="interpret")
+    detect_k = jax.jit(build_detect_fn(cfg_k, gen, pnet, cnet))
+    o_x = detect(p, stats, imgs, hw)
+    o_k = detect_k(p, stats, imgs, hw)
+    np.testing.assert_array_equal(np.asarray(o_x.valid), np.asarray(o_k.valid))
+    np.testing.assert_allclose(
+        np.asarray(o_x.boxes), np.asarray(o_k.boxes), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o_x.classes), np.asarray(o_k.classes)
+    )
