@@ -35,8 +35,11 @@ def main():
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    mode = sys.argv[3] if len(sys.argv) > 3 else "bf16"  # bf16 | int8 | pallas
 
     cfg = duplo_config()
+    if mode == "pallas":
+        cfg = cfg.replace(pallas_mode="on")
     gen = AnchorGenerator(cfg)
     pnet, cnet = create_models(cfg)
     params, stats = init_params(cfg, jax.random.PRNGKey(0))
@@ -62,10 +65,23 @@ def main():
     )
     true_hw = jnp.tile(jnp.asarray([[H, W]], jnp.int32), (batch_size, 1))
 
+    pnet_for_detect = pnet
+    if mode == "int8":
+        from frcnn_tpu.models.factory import compute_dtype
+        from frcnn_tpu.models.quant import (
+            QuantizedPNetAdapter,
+            quantize_pnet_params,
+        )
+
+        qparams = quantize_pnet_params(params, cfg.model)
+        pnet_for_detect = QuantizedPNetAdapter(
+            cfg.model, qparams, act_dtype=compute_dtype(cfg)
+        )
+
     # block_until_ready does not block on this remote platform, so time N
     # data-dependent detect iterations inside ONE XLA program and fetch a
     # scalar; difference two loop lengths to cancel launch overhead.
-    detect_fn = build_detect_fn(cfg, gen, pnet, cnet)
+    detect_fn = build_detect_fn(cfg, gen, pnet_for_detect, cnet)
 
     @jax.jit
     def run(n, p, st, imgs, hw):
@@ -91,10 +107,12 @@ def main():
     n_big = 1 + iters
     dt = timed(n_big) - timed(n_small)
     ips = batch_size * (n_big - n_small) / dt
+    suffix = "" if mode == "bf16" else f" [{mode}]"
     print(
         json.dumps(
             {
-                "metric": "batched detect images/sec/chip @800x450 (vgg_small/duplo)",
+                "metric": "batched detect images/sec/chip @800x450 "
+                          f"(vgg_small/duplo){suffix}",
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 4),

@@ -254,17 +254,20 @@ void find_target_size(int ow, int oh, int tss, int max_px, int* tw, int* th) {
 void process(const std::vector<uint8_t>& rgb, int sw, int sh, float* canvas,
              int ch, int cw, int tw, int th, int color_space, int hflip,
              int vflip, int* out_h, int* out_w) {
-  tw = std::min(tw, cw);
-  th = std::min(th, ch);
+  // Resample AT the full target scale but write only the region that fits
+  // the canvas (a top-left crop at the bucket boundary) — same semantics
+  // as the Python pipeline's resize-then-clamp, NOT a squash.
+  int keep_w = std::min(tw, cw);
+  int keep_h = std::min(th, ch);
 
-  // horizontal pass: [sh, sw, 3] u8 -> [sh, tw, 3] f32
+  // horizontal pass: [sh, sw, 3] u8 -> [sh, keep_w, 3] f32 (full-scale taps)
   Taps tx = make_taps(sw, tw);
-  std::vector<float> tmp(size_t(sh) * tw * 3);
+  std::vector<float> tmp(size_t(sh) * keep_w * 3);
   const float inv255 = 1.f / 255.f;
   for (int y = 0; y < sh; ++y) {
     const uint8_t* srow = rgb.data() + size_t(y) * sw * 3;
-    float* drow = tmp.data() + size_t(y) * tw * 3;
-    for (int x = 0; x < tw; ++x) {
+    float* drow = tmp.data() + size_t(y) * keep_w * 3;
+    for (int x = 0; x < keep_w; ++x) {
       float acc0 = 0, acc1 = 0, acc2 = 0;
       const float* w = tx.w.data() + size_t(x) * tx.max_cnt;
       const uint8_t* s = srow + size_t(tx.lo[x]) * 3;
@@ -281,14 +284,14 @@ void process(const std::vector<uint8_t>& rgb, int sw, int sh, float* canvas,
 
   // vertical pass + color + flips, written into the padded canvas
   Taps ty = make_taps(sh, th);
-  for (int y = 0; y < th; ++y) {
-    int oy = vflip ? (th - 1 - y) : y;
+  for (int y = 0; y < keep_h; ++y) {
+    int oy = vflip ? (keep_h - 1 - y) : y;
     float* drow = canvas + size_t(oy) * cw * 3;
     const float* wrow = ty.w.data() + size_t(y) * ty.max_cnt;
-    for (int x = 0; x < tw; ++x) {
+    for (int x = 0; x < keep_w; ++x) {
       float acc[3] = {0, 0, 0};
       for (int k = 0; k < ty.cnt[y]; ++k) {
-        const float* s = tmp.data() + size_t(ty.lo[y] + k) * tw * 3 + 3 * x;
+        const float* s = tmp.data() + size_t(ty.lo[y] + k) * keep_w * 3 + 3 * x;
         acc[0] += wrow[k] * s[0];
         acc[1] += wrow[k] * s[1];
         acc[2] += wrow[k] * s[2];
@@ -300,14 +303,14 @@ void process(const std::vector<uint8_t>& rgb, int sw, int sh, float* canvas,
         case CS_HSV: rgb2hsv_px(acc[0], acc[1], acc[2], px); break;
         default: px[0] = acc[0]; px[1] = acc[1]; px[2] = acc[2];
       }
-      int ox = hflip ? (tw - 1 - x) : x;
+      int ox = hflip ? (keep_w - 1 - x) : x;
       drow[3 * ox + 0] = px[0];
       drow[3 * ox + 1] = px[1];
       drow[3 * ox + 2] = px[2];
     }
   }
-  *out_h = th;
-  *out_w = tw;
+  *out_h = keep_h;
+  *out_w = keep_w;
 }
 
 }  // namespace

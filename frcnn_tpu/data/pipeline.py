@@ -345,7 +345,13 @@ class BatchIterator:
                 rois = []
                 if not background:
                     entry = self.ground_truth.get(names[i])
-                    sx, sy = w / ow, h / oh
+                    # scale at the FULL resize target (the native path crops
+                    # at the bucket boundary, it does not squash), then clip
+                    # to the kept extent
+                    tw_full, th_full = find_target_size(
+                        ow, oh, cfg.target_smaller_side, cfg.max_pixel_size
+                    )
+                    sx, sy = tw_full / ow, th_full / oh
                     raw = [dict(r) for r in (entry["rois"] if entry else [])]
                     rois = _transform_rois(
                         raw,

@@ -156,3 +156,55 @@ def test_compute_map_sanity():
     assert r2["mAP"] < 1.0
     # empty detections -> mAP 0
     assert compute_map([], gt, 3)["mAP"] == 0.0
+
+
+def test_pipeline_taller_than_bucket(dataset):
+    """Portrait-ish content taller than the compile bucket is clamped with
+    ROIs kept consistent (the reference would random-crop; we top-left
+    crop at the bucket boundary — PARITY.md divergence 1)."""
+    import dataclasses
+
+    from PIL import Image
+
+    tmp, _ = dataset
+    # tall image 160x240 (w x h): smaller side 160 -> target w=128, h=192
+    # exceeds the 128-tall bucket -> clamped to 128
+    rng = np.random.default_rng(9)
+    img = np.full((240, 160, 3), 25, np.uint8)
+    img[30:110, 40:120] = (230, 40, 40)
+    Image.fromarray(img).save(tmp / "tall.png")
+    rows = ['"tall.png", 40, 30, 120, 110, "Red", 0, "M", 0']
+    (tmp / "tall.csv").write_text("\n".join(rows))
+    from frcnn_tpu.data.importers import create_duplo_manifest
+
+    m = create_duplo_manifest("tall", str(tmp / "tall.csv"), None,
+                              str(tmp / "tall.json"), validation_size=0.0)
+    cfg = make_cfg(tmp)
+    from frcnn_tpu.config import AugmentationConfig
+
+    cfg = cfg.replace(augmentation=AugmentationConfig())
+    batches = {}
+    for use_native in (False, True):
+        it = BatchIterator(cfg, str(tmp / "tall.json"), seed=1,
+                           use_native=use_native)
+        batch = it.next_training_batch()
+        batches[use_native] = batch
+        h, w = batch.true_hw[0]
+        assert h <= cfg.shapes.image_hw[0] and w <= cfg.shapes.image_hw[1]
+        g = np.nonzero(batch.gt_mask[0])[0]
+        assert len(g) >= 1
+        box = batch.gt_boxes[0, g[0]]
+        assert 0 <= box[0] < box[2] <= w + 1e-3
+        assert 0 <= box[1] < box[3] <= h + 1e-3
+    # both paths must CROP at the bucket (not squash): same content + rois
+    np.testing.assert_array_equal(
+        np.asarray(batches[False].true_hw), np.asarray(batches[True].true_hw)
+    )
+    np.testing.assert_allclose(
+        np.asarray(batches[False].gt_boxes), np.asarray(batches[True].gt_boxes),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(batches[False].image), np.asarray(batches[True].image),
+        atol=5e-3,
+    )
