@@ -147,6 +147,47 @@ class _OrderedSet:
         return item
 
 
+class PrefetchingIterator:
+    """Background-thread batch prefetcher (depth-N queue) so host decode
+    overlaps device steps — the reference loads synchronously inside the
+    optimizer closure (``objective.lua:64``)."""
+
+    def __init__(self, iterator: "BatchIterator", depth: int = 2):
+        import queue
+        import threading
+
+        self._it = iterator
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def worker():
+            while not self._stop.is_set():
+                try:
+                    batch = self._it.next_training_batch()
+                except Exception as e:  # surface in the consumer
+                    self._q.put(e)
+                    return
+                self._q.put(batch)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def next_training_batch(self):
+        item = self._q.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so the worker unblocks
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+
 class BatchIterator:
     """Yields fixed-shape :class:`TrainBatch` structures.
 

@@ -93,10 +93,16 @@ def cmd_train(args):
         trainer.restore_snapshot(args.restore)
         log.info("restored %s at step %d", args.restore, trainer.step)
 
+    source = it
+    if getattr(args, "prefetch", 0):
+        from frcnn_tpu.data.pipeline import PrefetchingIterator
+
+        source = PrefetchingIterator(it, depth=args.prefetch)
+
     steps = args.steps or cfg.total_steps
     t_report = time.perf_counter()
     while trainer.step < steps:
-        batch = it.next_training_batch()
+        batch = source.next_training_batch()
         metrics = trainer.run_step(batch)
         i = trainer.step
         log.info(
@@ -233,6 +239,10 @@ def main(argv=None):
         sp.add_argument("--rms_decay", type=float, default=None)
         sp.add_argument("--opti", default=None, help="rmsprop | sgd | nag")
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--threads", type=int, default=0,
+                        help="native loader threads (0 = cpu count)")
+        sp.add_argument("--prefetch", type=int, default=2,
+                        help="batches prefetched ahead (0 = synchronous)")
 
     sp = sub.add_parser("train", help="joint RPN+classifier training")
     common(sp)

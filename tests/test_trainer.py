@@ -74,3 +74,45 @@ def test_eight_device_mesh():
     batch = make_batch(cfg, np.random.default_rng(5))
     m = tr.run_step(batch)
     assert np.isfinite(m["loss"])
+
+
+@pytest.mark.parametrize("opti", ["sgd", "nag"])
+def test_alternate_optimizers(opti):
+    """The reference's commented-out alternatives (main.lua:122-124)."""
+    cfg = tiny_config().replace(optimizer=opti)
+    tr = Trainer(cfg, mesh=make_mesh(n_devices=2))
+    batch = make_batch(cfg, np.random.default_rng(21))
+    m = tr.run_step(batch)
+    assert np.isfinite(m["loss"])
+
+
+def test_constant_lr_schedule_mode():
+    """lr_schedule='constant' (bug-compatible reference behavior)."""
+    from frcnn_tpu.train.optim import lr_schedule
+
+    cfg = tiny_config().replace(lr_schedule="constant", learning_rate=3e-4)
+    s = lr_schedule(cfg)
+    assert float(s(0)) == pytest.approx(3e-4)
+    assert float(s(20000)) == pytest.approx(3e-4)
+    cfg2 = tiny_config().replace(learning_rate=1e-4)
+    s2 = lr_schedule(cfg2)
+    assert float(s2(4999)) == pytest.approx(1e-4)
+    assert float(s2(5000)) == pytest.approx(5e-5)
+    assert float(s2(15000)) == pytest.approx(1.25e-5)
+
+
+def test_prefetching_iterator():
+    from frcnn_tpu.data.pipeline import PrefetchingIterator
+
+    class Fake:
+        def __init__(self):
+            self.n = 0
+
+        def next_training_batch(self):
+            self.n += 1
+            return self.n
+
+    pf = PrefetchingIterator(Fake(), depth=2)
+    got = [pf.next_training_batch() for _ in range(5)]
+    assert got == [1, 2, 3, 4, 5]
+    pf.close()
