@@ -166,6 +166,31 @@ def inside(outer, inner):
     )
 
 
+def union(a, b):
+    """Bounding box of two boxes (``Rect.union``, ``Rect.lua:118-124``)."""
+    return jnp.stack(
+        [
+            jnp.minimum(a[..., 0], b[..., 0]),
+            jnp.minimum(a[..., 1], b[..., 1]),
+            jnp.maximum(a[..., 2], b[..., 2]),
+            jnp.maximum(a[..., 3], b[..., 3]),
+        ],
+        axis=-1,
+    )
+
+
+def intersect(a, b):
+    """Intersection box; the all-zero empty box when disjoint
+    (``Rect.intersect``, ``Rect.lua:126-136``)."""
+    minx = jnp.maximum(a[..., 0], b[..., 0])
+    miny = jnp.maximum(a[..., 1], b[..., 1])
+    maxx = jnp.minimum(a[..., 2], b[..., 2])
+    maxy = jnp.minimum(a[..., 3], b[..., 3])
+    ok = (maxx >= minx) & (maxy >= miny)
+    out = jnp.stack([minx, miny, maxx, maxy], axis=-1)
+    return jnp.where(ok[..., None], out, jnp.zeros_like(out))
+
+
 # --- intersection / IoU ----------------------------------------------------
 
 def intersect_area(a, b):

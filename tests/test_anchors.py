@@ -135,3 +135,27 @@ def test_center_bins(gen):
     centers = (gen.boxes[:, :2] + gen.boxes[:, 2:]) * 0.5
     np.testing.assert_array_equal(gen.bin_x, np.floor(centers[:, 0] / 16).astype(np.int32))
     np.testing.assert_array_equal(gen.bin_y, np.floor(centers[:, 1] / 16).astype(np.int32))
+
+
+def test_golden_anchor_values(gen):
+    """Literal golden numbers, hand-derived from the tap affines
+    (test_localizer.EXPECTED_TAPS): tap0 center(c) = 8c + 12, tap1..3
+    center(c) = 16c + {24, 40, 56}; scale-32 1:1 box = center +- 16."""
+    # tap0, aspect 1:1, cell (0, 0): center (12, 12), 32x32
+    np.testing.assert_allclose(gen.get(0, 0, 0, 0), [-4, -4, 28, 28])
+    # tap0, cell (2, 5): center (8*5+12, 8*2+12) = (52, 28)
+    np.testing.assert_allclose(gen.get(0, 0, 2, 5), [36, 12, 68, 44])
+    # tap0 aspect 2:1 (w=2a, h=a, a=32/sqrt(2)): cell (0,0)
+    a = 32 / np.sqrt(2)
+    np.testing.assert_allclose(
+        gen.get(0, 1, 0, 0), [12 - a, 12 - a / 2, 12 + a, 12 + a / 2], rtol=1e-6
+    )
+    # tap1 (scale 64), 1:1, cell (3, 7): center (16*7+24, 16*3+24) = (136, 72)
+    np.testing.assert_allclose(gen.get(1, 0, 3, 7), [104, 40, 168, 104])
+    # tap3 (scale 256), 1:2 aspect (w=a, h=2a, a=256/sqrt(2)), cell (1, 1):
+    # center (16+56, 16+56) = (72, 72)
+    a3 = 256 / np.sqrt(2)
+    np.testing.assert_allclose(
+        gen.get(3, 2, 1, 1), [72 - a3 / 2, 72 - a3, 72 + a3 / 2, 72 + a3],
+        rtol=1e-6,
+    )

@@ -119,3 +119,13 @@ def test_snap_to_int():
     b = jnp.array([[1.2, -0.7, 3.1, 4.0]])
     out = np.asarray(B.snap_to_int(b))[0]
     assert tuple(out) == (1.0, -1.0, 4.0, 4.0)
+
+
+def test_union_intersect():
+    a = jnp.array([0.0, 0.0, 10.0, 10.0])
+    b = jnp.array([5.0, 5.0, 20.0, 8.0])
+    assert np.asarray(B.union(a, b)).tolist() == [0, 0, 20, 10]
+    assert np.asarray(B.intersect(a, b)).tolist() == [5, 5, 10, 8]
+    # disjoint -> empty zero box (Rect.empty())
+    c = jnp.array([50.0, 50.0, 60.0, 60.0])
+    assert np.asarray(B.intersect(a, c)).tolist() == [0, 0, 0, 0]
