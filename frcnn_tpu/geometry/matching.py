@@ -56,6 +56,7 @@ def match_positives(
     pos_threshold: float,
     neg_threshold: float,
     include_best: bool,
+    iou=None,          # optional precomputed [G, A] IoU matrix
 ):
     """Per-ROI positive anchor masks.
 
@@ -73,7 +74,8 @@ def match_positives(
       inserted anchor satisfies the final ``best_iou > 0`` check,
       ``Anchors.lua:184``).
     """
-    iou = B.iou_matrix(gt_boxes, anchor_boxes)            # [G, A]
+    if iou is None:
+        iou = B.iou_matrix(gt_boxes, anchor_boxes)        # [G, A]
     cand = candidate_mask[None, :] & (iou > 0.0)
     direct = cand & (iou > pos_threshold)
     has_direct = jnp.any(direct, axis=1, keepdims=True)   # [G, 1]
@@ -108,9 +110,11 @@ def sample_negatives(
     neg_threshold: float,
     count: int,        # static max count
     requested,         # traced actual count to draw (<= count)
+    iou=None,          # optional precomputed [G, A] IoU matrix
 ):
     """Random negative anchors. Returns (indices [count], valid [count])."""
-    iou = B.iou_matrix(gt_boxes, anchor_boxes)            # [G, A]
+    if iou is None:
+        iou = B.iou_matrix(gt_boxes, anchor_boxes)        # [G, A]
     iou = jnp.where(gt_mask[:, None], iou, 0.0)
     clean = valid_mask & ~jnp.any(iou > neg_threshold, axis=0)
 

@@ -84,10 +84,16 @@ def label_one_image(cfg: Config, gen: AnchorGenerator, rng, true_hw,
 
     r_pos, r_neg, r_near = jax.random.split(rng, 3)
 
+    # one [G, A] IoU matrix shared by matching and negative sampling
+    from frcnn_tpu.geometry import boxes as B
+
+    iou_ga = B.iou_matrix(gt_boxes, anchor_boxes)
+
     # positives (none on background-only slots: gt_mask is all-false there)
     pos_matrix = M.match_positives(
         anchor_boxes, cand, gt_boxes, gt_mask,
         cfg.positive_threshold, cfg.negative_threshold, cfg.best_match,
+        iou=iou_ga,
     )
     sel = M.select_positive_pairs(pos_matrix, s.max_positives)
 
@@ -100,7 +106,7 @@ def label_one_image(cfg: Config, gen: AnchorGenerator, rng, true_hw,
     range_id = jnp.asarray(gen.tap * 3 + gen.aspect)
     neg_idx, neg_valid = M.sample_negatives(
         r_neg, anchor_boxes, cand, range_id, 3 * len(cfg.scales),
-        gt_boxes, gt_mask, neg_thr, s.max_negatives, requested,
+        gt_boxes, gt_mask, neg_thr, s.max_negatives, requested, iou=iou_ga,
     )
 
     if cfg.nearby_aversion:
