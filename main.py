@@ -111,6 +111,8 @@ def cmd_train(args):
             i, metrics["loss"], metrics["pcls"], metrics["preg"],
             metrics["dcls"], metrics["dreg"], int(metrics["cls_count"]),
         )
+        if metrics.get("skipped"):
+            log.warning("step %d: non-finite objective — update skipped", i)
         if cfg.plot_interval and i % cfg.plot_interval == 0:
             plot_training_progress(args.name, trainer.stats)
         if cfg.snapshot_interval and i % cfg.snapshot_interval == 0:
