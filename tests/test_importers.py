@@ -94,3 +94,18 @@ def test_create_imagenet_manifest(tmp_path):
     assert len(rois) == 2  # no debug early-exit (ref bug not replicated)
     assert rois[0]["rect"] == [10, 12, 100, 99]
     assert len(m["background_files"]) == 1
+
+
+def test_config_json_artifacts_roundtrip():
+    """configs/*.json ship the presets; from_json must reconstruct them."""
+    import os
+
+    from frcnn_tpu.config import Config, duplo_config, imagenet_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    with open(os.path.join(root, "duplo.json")) as f:
+        c = Config.from_json(f.read())
+    assert c == duplo_config()
+    with open(os.path.join(root, "imagenet.json")) as f:
+        c2 = Config.from_json(f.read())
+    assert c2 == imagenet_config()
