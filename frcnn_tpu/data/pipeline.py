@@ -439,7 +439,14 @@ class BatchIterator:
                     add(got[0], [], True)
                     break
 
+        attempts = 0
         while len(imgs) < B:
+            attempts += 1
+            if attempts > 20 * B + 20:
+                raise RuntimeError(
+                    "could not assemble a training batch: too many "
+                    "unreadable/undersized images"
+                )
             got = self._load_processed(
                 self.training.next(), self.cfg.examples_base_path, with_rois=True
             )

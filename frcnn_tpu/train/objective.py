@@ -85,8 +85,6 @@ def label_one_image(cfg: Config, gen: AnchorGenerator, rng, true_hw,
     r_pos, r_neg, r_near = jax.random.split(rng, 3)
 
     # one [G, A] IoU matrix shared by matching and negative sampling
-    from frcnn_tpu.geometry import boxes as B
-
     iou_ga = B.iou_matrix(gt_boxes, anchor_boxes)
 
     # positives (none on background-only slots: gt_mask is all-false there)
