@@ -24,3 +24,33 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Primary public API (lazy to keep `import frcnn_tpu` light).
+__all__ = [
+    "Config", "duplo_config", "imagenet_config",
+    "Trainer", "Detector", "BatchIterator", "AnchorGenerator",
+]
+
+
+def __getattr__(name):
+    if name in ("Config", "duplo_config", "imagenet_config"):
+        import frcnn_tpu.config as m
+
+        return getattr(m, name)
+    if name == "Trainer":
+        from frcnn_tpu.train.trainer import Trainer
+
+        return Trainer
+    if name == "Detector":
+        from frcnn_tpu.detect.detector import Detector
+
+        return Detector
+    if name == "BatchIterator":
+        from frcnn_tpu.data.pipeline import BatchIterator
+
+        return BatchIterator
+    if name == "AnchorGenerator":
+        from frcnn_tpu.geometry.anchors import AnchorGenerator
+
+        return AnchorGenerator
+    raise AttributeError(name)
