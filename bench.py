@@ -10,17 +10,53 @@ Baseline: BASELINE.json north star = 1000 images/sec/chip.
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 1000.0
 
 
-def main():
+def emit(metric: str, value: float, error: str = ""):
+    """ONE parseable JSON line, success or not — a dead TPU tunnel must
+    still yield a machine-readable artifact (round-1 BENCH was rc=1)."""
+    rec = {
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC, 4),
+    }
+    if error:
+        rec["error"] = error[-500:]
+    print(json.dumps(rec))
+
+
+def backend_healthcheck(timeout_s: int = 120, attempts: int = 3):
+    """Probe the default jax backend in a SUBPROCESS (a hung remote-TPU
+    init cannot be interrupted in-process) with bounded retries. Returns
+    (ok, error_message)."""
+    code = "import jax, jax.numpy as j; print(float(j.arange(8.0).sum()))"
+    err = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            if r.returncode == 0 and "28.0" in r.stdout:
+                return True, ""
+            err = (r.stderr or r.stdout or "no output").strip()[-400:]
+        except subprocess.TimeoutExpired:
+            err = f"backend health check timed out after {timeout_s}s"
+        if i + 1 < attempts:
+            time.sleep(10)
+    return False, err
+
+
+def run_bench(batch_size: int, iters: int, mode: str) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     # persistent compile cache: repeated bench invocations skip XLA compile
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/frcnn_tpu_jax_cache")
@@ -33,11 +69,14 @@ def main():
     from frcnn_tpu.geometry.anchors import AnchorGenerator
     from frcnn_tpu.models.factory import create_models, init_params
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    mode = sys.argv[3] if len(sys.argv) > 3 else "bf16"  # bf16 | int8 | pallas
+    # The bench workload is exactly 800x450 frames (the BASELINE.json north
+    # star), so the compile bucket is pinned to that envelope; the duplo
+    # default bucket is the full 450x1000 resize envelope for arbitrary
+    # wide images.
+    import dataclasses as _dc
 
     cfg = duplo_config()
+    cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
     if mode == "pallas":
         cfg = cfg.replace(pallas_mode="on")
     gen = AnchorGenerator(cfg)
@@ -106,19 +145,34 @@ def main():
     n_small = 1 + iters // 4
     n_big = 1 + iters
     dt = timed(n_big) - timed(n_small)
-    ips = batch_size * (n_big - n_small) / dt
+    return batch_size * (n_big - n_small) / dt
+
+
+def main():
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    mode = sys.argv[3] if len(sys.argv) > 3 else "bf16"  # bf16 | int8 | pallas
     suffix = "" if mode == "bf16" else f" [{mode}]"
-    print(
-        json.dumps(
-            {
-                "metric": "batched detect images/sec/chip @800x450 "
-                          f"(vgg_small/duplo){suffix}",
-                "value": round(ips, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 4),
-            }
-        )
-    )
+    metric = f"batched detect images/sec/chip @800x450 (vgg_small/duplo){suffix}"
+
+    ok, err = backend_healthcheck()
+    if not ok:
+        emit(metric, 0.0, error=f"backend unavailable: {err}")
+        return
+
+    # the flaky tunnel can still drop mid-run — bounded retry, then a
+    # parseable error record instead of a non-zero exit
+    last = ""
+    for attempt in range(2):
+        try:
+            emit(metric, run_bench(batch_size, iters, mode))
+            return
+        except Exception as e:  # noqa: BLE001 — anything from a dead backend
+            last = f"{type(e).__name__}: {e}"
+            print(f"# bench attempt {attempt + 1} failed: {last}",
+                  file=sys.stderr)
+            time.sleep(10)
+    emit(metric, 0.0, error=last)
 
 
 if __name__ == "__main__":

@@ -242,7 +242,16 @@ class Config:
 
 def duplo_config(**overrides) -> Config:
     """Reference ``config/duplo.lua``: 16 classes, scales {32,64,128,256},
-    450/1000 px, yuv, 6x6 ROI grid, thresholds 0.5/0.25."""
+    450/1000 px, yuv, 6x6 ROI grid, thresholds 0.5/0.25.
+
+    The compile bucket is the config's landscape resize envelope
+    (``utilities.lua:188-203``: smaller side -> 450, larger side capped at
+    1000), so wide images up to 1000 px keep their full width instead of
+    being cropped. Portrait images (h up to 1000 at w 450) are still
+    clamped at the bucket with a warning — see ``pipeline.py``. Workloads
+    with a known tighter envelope (e.g. all-16:9 video frames) should
+    override ``shapes.image_hw`` to (450, 800) for ~25% less conv compute.
+    """
     cfg = Config(
         class_count=16,
         target_smaller_side=450,
@@ -253,7 +262,7 @@ def duplo_config(**overrides) -> Config:
         positive_threshold=0.5,
         negative_threshold=0.25,
         model=vgg_small_model(),
-        shapes=StaticShapeConfig(image_hw=(450, 800)),
+        shapes=StaticShapeConfig(image_hw=(450, 1000)),
     )
     return cfg.replace(**overrides) if overrides else cfg
 
@@ -271,7 +280,7 @@ def imagenet_config(**overrides) -> Config:
         positive_threshold=0.6,
         negative_threshold=0.25,
         model=vgg_large_model(),
-        shapes=StaticShapeConfig(image_hw=(480, 854)),
+        shapes=StaticShapeConfig(image_hw=(480, 1000)),
     )
     return cfg.replace(**overrides) if overrides else cfg
 

@@ -278,9 +278,18 @@ class BatchIterator:
             )
 
         ih, iw = img.shape[:2]
-        # also clamp to the compile bucket (same mechanics as the crop above)
+        # Safety clamp to the compile bucket (same mechanics as the crop
+        # above). With the default configs the bucket equals the resize
+        # envelope for LANDSCAPE images, so this only fires for portrait
+        # inputs (h up to max_pixel_size at w = target_smaller_side) or
+        # user-shrunk buckets — the reference keeps those full-size
+        # (utilities.lua:188-203); we crop and warn.
         Hb, Wb = self.cfg.shapes.image_hw
         if iw > Wb or ih > Hb:
+            log.warning(
+                "image exceeds the compile bucket (%dx%d > %dx%d): cropping",
+                iw, ih, Wb, Hb,
+            )
             cw, ch = min(Wb, iw), min(Hb, ih)
             img = img[:ch, :cw]
             rois = _transform_rois(rois, lambda r: list(r), iw, ih, cw, ch)
@@ -500,9 +509,14 @@ class BatchIterator:
 
     def next_validation(self, count: int = 1):
         """List of dicts {image (true size), rois} — ``nextValidation``
-        (``BatchIterator.lua:279-317``). No augmentation."""
+        (``BatchIterator.lua:279-317``). No augmentation. Returns fewer than
+        ``count`` items (possibly none) when the validation set is empty or
+        unreadable."""
         out = []
         guard = 0
+        if len(self.validation) == 0:
+            log.warning("validation set is empty")
+            return out
         while len(out) < count and guard < count * 20:
             guard += 1
             got = self._load_processed(
@@ -515,8 +529,14 @@ class BatchIterator:
         return out
 
     def padded_validation_batch(self, count: int):
-        """Fixed-shape batch for the jitted detector."""
+        """Fixed-shape batch for the jitted detector. With an empty or fully
+        unreadable validation set, returns correctly-shaped EMPTY arrays
+        (batch 0) instead of crashing — callers iterate zero images."""
         items = self.next_validation(count)
+        H, W = self.cfg.shapes.image_hw
+        if not items:
+            return (np.zeros((0, H, W, 3), np.float32),
+                    np.zeros((0, 2), np.int32), [])
         imgs, hws, all_rois = [], [], []
         for it in items:
             canvas, hw, *_ = self._pad_slot(it["image"], it["rois"])

@@ -49,6 +49,33 @@ CONFIDENCE_THRESHOLD = 0.2  # exp(logprob) cutoff (Detector.lua:115)
 CLASS_NMS_IOU = 0.1       # Detector.lua:133
 
 
+def select_proposals(keep, score, k: int):
+    """Pick up to ``k`` gate-passing anchors per image.
+
+    The reference keeps ALL gated proposals (``Detector.lua:69-85``); here
+    the count is fixed at ``k``. When no image has more than ``k`` passers
+    (every real scene), an O(A) compaction keeps the set identical to the
+    reference's. If any image overflows, fall back to exact top-k by score —
+    the k best-scored passers. Downstream NMS re-sorts by score, so ordering
+    between the two branches is irrelevant.
+
+    Args: ``keep`` [B, A] bool, ``score`` [B, A] (log P(fg); finite > log
+    0.95 wherever ``keep``). Returns (indices [B, k] int32, valid [B, k]).
+    """
+
+    def by_compaction(keep_m, _score):
+        idx, val, _ = jax.vmap(lambda m: compact_mask(m, k))(keep_m)
+        return idx, val
+
+    def by_topk(keep_m, score_m):
+        masked = jnp.where(keep_m, score_m, -jnp.inf)
+        top_s, idx = jax.lax.top_k(masked, k)
+        return idx.astype(jnp.int32), top_s > -jnp.inf
+
+    overflow = jnp.any(jnp.sum(keep, axis=1) > k)
+    return jax.lax.cond(overflow, by_topk, by_compaction, keep, score)
+
+
 class DetectionResult(NamedTuple):
     boxes: jnp.ndarray           # [B, D, 4] refined (r2)
     proposal_boxes: jnp.ndarray  # [B, D, 4] stage-1 proposals (r)
@@ -129,19 +156,18 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
             & jax.vmap(gen.fm_valid_mask)(h, w)
         )
 
-        # Candidates into the proposal NMS. The reference keeps ALL gated
-        # proposals (no cap); we carry up to K. Selection is an O(A)
-        # compaction (cumsum+scatter) rather than a top-K sort — the
-        # candidate SET is identical whenever <= K anchors pass the 0.95
-        # gate (always, on real scenes); if more pass, the first K in
-        # canonical anchor order are kept. NMS re-sorts by score.
-        top_idx, top_valid, _ = jax.vmap(lambda m: compact_mask(m, K))(keep)
+        top_idx, top_valid = select_proposals(keep, score, K)
         safe_top = jnp.maximum(top_idx, 0)
         top_boxes = jnp.take_along_axis(decoded, safe_top[:, :, None], axis=1)
         top_scores = jnp.where(
             top_valid, jnp.take_along_axis(score, safe_top, axis=1), -jnp.inf
         )
 
+        # Stage-1 NMS. The reference pools ALL NMS survivors
+        # (Detector.lua:92-101); we cap at D = max_detections. NMS picks are
+        # emitted in descending score order, so when more than D survive the
+        # cap keeps exactly the top-D survivors by score — the same prefix
+        # the reference's pick list starts with.
         nms_idx, prop_valid = batched_nms(
             top_boxes, top_scores, top_valid, PROPOSAL_NMS_IOU, D
         )

@@ -161,6 +161,9 @@ def cmd_demo(args):
     n = args.count
     for i in range(n):
         imgs, hws, rois = it.padded_validation_batch(1)
+        if imgs.shape[0] == 0:
+            log.warning("validation set empty/unreadable — stopping demo")
+            break
         out = det.detect(imgs, hws)
         h, w = int(hws[0][0]), int(hws[0][1])
         img = np.asarray(imgs[0][:h, :w]).copy()

@@ -68,7 +68,12 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     stages = set(sys.argv[3:]) or {"norm", "fwd", "decode", "nms", "pool", "cnet", "full"}
 
+    import dataclasses as _dc
+
+    # profile at the north-star 800x450 bucket (duplo default is the
+    # full 450x1000 wide-image envelope)
     cfg = duplo_config()
+    cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
     gen = AnchorGenerator(cfg)
     pnet, cnet = create_models(cfg)
     params, stats = init_params(cfg, jax.random.PRNGKey(0))

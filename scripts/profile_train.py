@@ -32,7 +32,12 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
+    import dataclasses as _dc
+
+    # profile at the north-star 800x450 bucket (duplo default is the
+    # full 450x1000 wide-image envelope)
     cfg = duplo_config()
+    cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
     cfg = cfg.replace(shapes=dataclasses.replace(cfg.shapes, images_per_step=B))
     gen = AnchorGenerator(cfg)
     pnet, cnet = create_models(cfg)

@@ -12,7 +12,35 @@ from frcnn_tpu.geometry.anchors import AnchorGenerator, aspect_dims
 
 @pytest.fixture(scope="module")
 def gen():
-    return AnchorGenerator(duplo_config())
+    # golden values below are derived for the 800x450 workload bucket; the
+    # duplo DEFAULT bucket is the full 450x1000 wide-image envelope
+    import dataclasses
+
+    cfg = duplo_config()
+    cfg = cfg.replace(
+        shapes=dataclasses.replace(cfg.shapes, image_hw=(450, 800))
+    )
+    return AnchorGenerator(cfg)
+
+
+def test_default_bucket_is_resize_envelope(gen):
+    """duplo's default compile bucket must cover the config's landscape
+    resize envelope (smaller side 450, larger capped at 1000 —
+    utilities.lua:188-203), so wide images are not cropped; and anchors for
+    a true 800x450 image inside the 1000-wide bucket match the dedicated
+    800-bucket field."""
+    cfg = duplo_config()
+    assert cfg.shapes.image_hw == (450, 1000)
+    gen_wide = AnchorGenerator(cfg)
+    assert gen_wide.num_anchors > gen.num_anchors
+    # same tap heights, wider taps
+    for (h8, w8), (hw_, ww_) in zip(gen.tap_dims, gen_wide.tap_dims):
+        assert hw_ == h8 and ww_ > w8
+    # masking a true 800x450 image inside the wide bucket keeps exactly the
+    # anchors of the 800 bucket's taps
+    m = np.asarray(gen_wide.fm_valid_mask(450, 800))
+    kept = int(m.sum())
+    assert kept == gen.num_anchors
 
 
 def test_aspect_dims_equal_area():

@@ -111,6 +111,42 @@ def test_detect_deterministic(setup):
     np.testing.assert_array_equal(np.asarray(o1.valid), np.asarray(o2.valid))
 
 
+def test_select_proposals_topk_on_overflow():
+    """More gate passers than K: kept set must be exactly the top-K by
+    score (reference keeps everything, Detector.lua:69-85; a cap must drop
+    only the worst-scored)."""
+    from frcnn_tpu.detect.detector import select_proposals
+
+    rng = np.random.default_rng(7)
+    A, K = 200, 16
+    score = jnp.asarray(rng.permutation(A).astype(np.float32) * -1e-3)
+    keep = jnp.asarray(rng.random(A) < 0.5)[None]  # ~100 passers > K
+    idx, valid = jax.jit(select_proposals, static_argnums=2)(
+        keep, score[None], K
+    )
+    idx, valid = np.asarray(idx)[0], np.asarray(valid)[0]
+    assert valid.all()
+    passers = np.flatnonzero(np.asarray(keep)[0])
+    expect = passers[np.argsort(-np.asarray(score)[passers])[:K]]
+    assert set(idx.tolist()) == set(expect.tolist())
+
+
+def test_select_proposals_underflow_keeps_all_passers():
+    """<= K passers: kept set == passer set, order-independent."""
+    from frcnn_tpu.detect.detector import select_proposals
+
+    rng = np.random.default_rng(8)
+    A, K = 200, 32
+    score = jnp.asarray(rng.normal(size=A).astype(np.float32))
+    keep = jnp.zeros(A, bool).at[jnp.asarray([3, 50, 77, 198])].set(True)[None]
+    idx, valid = jax.jit(select_proposals, static_argnums=2)(
+        keep, score[None], K
+    )
+    idx, valid = np.asarray(idx)[0], np.asarray(valid)[0]
+    assert valid.sum() == 4
+    assert set(idx[valid].tolist()) == {3, 50, 77, 198}
+
+
 def test_pallas_detect_path_matches_xla(setup):
     """pallas_mode='interpret' runs the Pallas NMS + ROI-pool kernels in
     the full detect program; results must match the XLA path exactly."""

@@ -158,6 +158,91 @@ def test_compute_map_sanity():
     assert compute_map([], gt, 3)["mAP"] == 0.0
 
 
+def test_empty_validation_set_yields_empty_batch(tmp_path):
+    """An empty (or fully unreadable) validation set must yield a 0-batch,
+    not crash (demo/evaluate entry path)."""
+    make_dataset(tmp_path)
+    from frcnn_tpu.data.importers import create_duplo_manifest
+
+    create_duplo_manifest("synthetic", str(tmp_path / "boxes.csv"), None,
+                          str(tmp_path / "m0.json"), validation_size=0.0)
+    cfg = make_cfg(tmp_path)
+    it = BatchIterator(cfg, str(tmp_path / "m0.json"), seed=1)
+    assert it.next_validation(3) == []
+    imgs, hws, rois = it.padded_validation_batch(3)
+    H, W = cfg.shapes.image_hw
+    assert imgs.shape == (0, H, W, 3)
+    assert hws.shape == (0, 2)
+    assert rois == []
+
+
+def test_multihost_input_sharding_disjoint_coverage(dataset):
+    """num_shards > 1: each process's training stream draws from a disjoint
+    stride of the training list, and the shards jointly cover it."""
+    tmp, manifest = dataset
+    cfg = make_cfg(tmp)
+    full = set(manifest["training_set"])
+    seen = []
+    for shard in range(2):
+        it = BatchIterator(cfg, str(tmp / "manifest.json"), seed=1,
+                           shard_index=shard, num_shards=2)
+        names = set(it.training.items)
+        assert names == set(manifest["training_set"][shard::2])
+        # the shard stream only ever serves its own files
+        served = {it.training.next() for _ in range(3 * len(names))}
+        assert served == names
+        seen.append(names)
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == full
+
+
+def test_pipeline_wide_image_keeps_right_edge_gt(tmp_path):
+    """A 2.2:1 landscape image resizes to 990x450 (smaller side 450, width
+    capped at 1000, utilities.lua:188-203). The duplo bucket is the full
+    450x1000 envelope, so GT near the right edge (x > 800) must survive the
+    pipeline — round-1 buckets cropped it away."""
+    import dataclasses
+
+    from PIL import Image
+
+    from frcnn_tpu.config import AugmentationConfig, duplo_config
+    from frcnn_tpu.data import native
+    from frcnn_tpu.data.importers import create_duplo_manifest
+
+    w, h = 1408, 640  # 2.2:1
+    img = np.full((h, w, 3), 25, np.uint8)
+    img[100:300, 1300:1400] = (230, 40, 40)
+    Image.fromarray(img).save(tmp_path / "wide.png")
+    (tmp_path / "wide.csv").write_text(
+        '"wide.png", 1300, 100, 1400, 300, "Red", 0, "M", 0'
+    )
+    create_duplo_manifest("wide", str(tmp_path / "wide.csv"), None,
+                          str(tmp_path / "wide.json"), validation_size=0.0)
+
+    cfg = duplo_config(
+        examples_base_path=str(tmp_path),
+        augmentation=AugmentationConfig(),
+        color_space="rgb",
+    )
+    cfg = cfg.replace(
+        shapes=dataclasses.replace(cfg.shapes, images_per_step=1, max_gt=4)
+    )
+    sx = 990.0 / w  # find_target_size(1408, 640, 450, 1000) -> (990, 450)
+    paths = [False] + ([True] if native.available() else [])
+    for use_native in paths:
+        it = BatchIterator(cfg, str(tmp_path / "wide.json"), seed=1,
+                           use_native=use_native)
+        batch = it.next_training_batch()
+        assert tuple(batch.true_hw[0]) == (450, 990)
+        g = np.nonzero(batch.gt_mask[0])[0]
+        assert len(g) == 1, f"right-edge GT lost (native={use_native})"
+        box = batch.gt_boxes[0, g[0]]
+        np.testing.assert_allclose(
+            box, [1300 * sx, 100 * sx, 1400 * sx, 300 * sx], atol=1.0
+        )
+        assert box[2] > 900  # genuinely beyond the old 800px bucket
+
+
 def test_pipeline_taller_than_bucket(dataset):
     """Portrait-ish content taller than the compile bucket is clamped with
     ROIs kept consistent (the reference would random-crop; we top-left

@@ -122,6 +122,53 @@ def test_masked_batchnorm_per_group_stats():
         assert y[g].std() == pytest.approx(1.0, abs=1e-2)
 
 
+def test_masked_batchnorm_running_stat_drift_bounded():
+    """Documented divergence (models/layers.py): the reference momentum-steps
+    the running stats once per IMAGE (cnet runs per image, objective.lua:164);
+    we step once per BATCH with the mean of per-image statistics. Both are
+    convex averagers of the same per-image stats, so on a stationary stream
+    they converge to the same fixed point; this bounds the trajectory gap."""
+    B, R, F = 4, 12, 3
+    momentum = 0.1
+    bn = MaskedBatchNorm(features=F, momentum=momentum)
+    rng = np.random.default_rng(11)
+
+    x0 = jnp.asarray(rng.normal(size=(B, R, F)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, R)) < 0.75)
+    mask = mask.at[:, 0].set(True)  # >= 1 valid row per image
+    v = bn.init(jax.random.PRNGKey(0), x0, mask, False)
+    params = {"params": v["params"]}
+    stats = {"batch_stats": v["batch_stats"]}
+
+    seq_mean = np.zeros(F)
+    seq_var = np.ones(F)
+    for step in range(60):
+        x = rng.normal(3.0, 2.0, size=(B, R, F)).astype(np.float32)
+        _, upd = bn.apply(
+            {**params, **stats}, jnp.asarray(x), mask, False,
+            mutable=["batch_stats"],
+        )
+        stats = {"batch_stats": upd["batch_stats"]}
+        # oracle: one sequential momentum step per image (torch semantics:
+        # biased batch var in the forward, unbiased into the running var)
+        for b in range(B):
+            m = np.asarray(mask[b])
+            rows = x[b][m]
+            n = rows.shape[0]
+            mu = rows.mean(0)
+            var_u = rows.var(0) * n / max(n - 1, 1)
+            seq_mean = (1 - momentum) * seq_mean + momentum * mu
+            seq_var = (1 - momentum) * seq_var + momentum * var_u
+
+    got_mean = np.asarray(stats["batch_stats"]["mean"])
+    got_var = np.asarray(stats["batch_stats"]["var"])
+    # same fixed point, trajectory gap bounded well under the stream's noise
+    np.testing.assert_allclose(got_mean, seq_mean, atol=0.35)
+    np.testing.assert_allclose(got_var, seq_var, rtol=0.2)
+    assert np.all(np.abs(got_mean - 3.0) < 1.0)
+    assert np.all(np.abs(got_var - 4.0) < 2.0)
+
+
 def test_msra_init_statistics(cfg, params_stats):
     params, _ = params_stats
     k = params["pnet"]["block3_conv0"]["kernel"]
