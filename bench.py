@@ -77,7 +77,7 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
 
     cfg = duplo_config()
     cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
-    if mode == "pallas":
+    if "pallas" in mode:
         cfg = cfg.replace(pallas_mode="on")
     gen = AnchorGenerator(cfg)
     pnet, cnet = create_models(cfg)
@@ -105,7 +105,7 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
     true_hw = jnp.tile(jnp.asarray([[H, W]], jnp.int32), (batch_size, 1))
 
     pnet_for_detect = pnet
-    if mode == "int8":
+    if "int8" in mode:
         from frcnn_tpu.models.factory import compute_dtype
         from frcnn_tpu.models.quant import (
             QuantizedPNetAdapter,
@@ -151,7 +151,8 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    mode = sys.argv[3] if len(sys.argv) > 3 else "bf16"  # bf16 | int8 | pallas
+    # bf16 | int8 | pallas | combined e.g. "int8+pallas"
+    mode = sys.argv[3] if len(sys.argv) > 3 else "bf16"
     suffix = "" if mode == "bf16" else f" [{mode}]"
     metric = f"batched detect images/sec/chip @800x450 (vgg_small/duplo){suffix}"
 

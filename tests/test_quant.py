@@ -72,3 +72,30 @@ def test_quant_adapter_in_detector(setup):
     hw = jnp.asarray([[H, W]], jnp.int32)
     out = detect(params, stats, imgs, hw)
     assert out.boxes.shape[0] == 1  # runs end to end
+
+
+def test_quant_plus_pallas_detect_matches_quant_xla(setup):
+    """The combined serving config (int8 backbone + Pallas kernels) must
+    match int8 + XLA formulations exactly — Pallas swaps only the NMS/pool
+    implementations, not semantics."""
+    cfg, pnet, params, qparams = setup
+    from frcnn_tpu.detect.detector import build_detect_fn
+    from frcnn_tpu.geometry.anchors import AnchorGenerator
+    from frcnn_tpu.models.factory import create_models, init_params
+
+    gen = AnchorGenerator(cfg)
+    _, cnet = create_models(cfg)
+    _, stats = init_params(cfg, jax.random.PRNGKey(0))
+    adapter = QuantizedPNetAdapter(cfg.model, qparams, act_dtype=jnp.float32)
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.normal(0.3, 0.2, (1, H, W, 3)).astype(np.float32))
+    hw = jnp.asarray([[H, W]], jnp.int32)
+
+    o_x = build_detect_fn(cfg, gen, adapter, cnet)(params, stats, imgs, hw)
+    cfg_k = cfg.replace(pallas_mode="interpret")
+    o_k = build_detect_fn(cfg_k, gen, adapter, cnet)(params, stats, imgs, hw)
+    np.testing.assert_array_equal(np.asarray(o_x.valid), np.asarray(o_k.valid))
+    np.testing.assert_allclose(
+        np.asarray(o_x.boxes), np.asarray(o_k.boxes), rtol=1e-5, atol=1e-4
+    )
