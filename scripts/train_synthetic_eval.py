@@ -102,9 +102,11 @@ def tiny_cfg(n_classes: int):
             AnchorNetSpec(kW=5, n=32, input=4),
             AnchorNetSpec(kW=7, n=32, input=4),
         ),
+        # class head proportionally sized like the reference's 1024/512
+        # (vgg_small.lua:19-22); 0.5 dropout starves a head this small
         class_layers=(
-            ClassLayerSpec(n=64, dropout=0.5, batch_norm=True),
-            ClassLayerSpec(n=32, dropout=0.5),
+            ClassLayerSpec(n=128, dropout=0.25, batch_norm=True),
+            ClassLayerSpec(n=64, dropout=0.25),
         ),
     )
     return Config(
