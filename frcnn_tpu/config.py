@@ -148,6 +148,13 @@ class StaticShapeConfig:
     # Input image bucket after resize (H, W). Images are letterbox-padded
     # (bottom/right) to this size; the true (h, w) travels alongside.
     image_hw: Tuple[int, int] = (450, 800)
+    # Optional second compile bucket for PORTRAIT images (H, W). The
+    # reference resizes the smaller side to the target and caps the larger
+    # side (utilities.lua:188-203), so portrait inputs come out taller than
+    # wide; without this bucket they are cropped at image_hw. When set,
+    # the pipeline routes each image to the bucket that fits it (one more
+    # XLA program per consumer: train step / detect).
+    portrait_hw: Tuple[int, int] | None = None
     # Images per train step (the reference instead accumulates images until
     # >= batch_size anchor examples are collected, main driver of its
     # variable step composition; we fix the image count and keep the loss
@@ -164,6 +171,21 @@ class StaticShapeConfig:
     @property
     def max_roi_examples(self) -> int:
         return self.max_positives + self.max_negatives + self.max_nearby
+
+    def buckets(self):
+        """All configured compile buckets, primary first."""
+        out = [tuple(self.image_hw)]
+        if self.portrait_hw is not None:
+            out.append(tuple(self.portrait_hw))
+        return out
+
+    def bucket_for(self, h: int, w: int) -> Tuple[int, int]:
+        """Smallest configured bucket that fits an (h, w) image; falls back
+        to the primary bucket (caller crops) if none fits."""
+        fitting = [b for b in self.buckets() if h <= b[0] and w <= b[1]]
+        if fitting:
+            return min(fitting, key=lambda b: b[0] * b[1])
+        return tuple(self.image_hw)
 
 
 @dataclass(frozen=True)
@@ -233,9 +255,11 @@ class Config:
         m["anchor_nets"] = tuple(AnchorNetSpec(**x) for x in m["anchor_nets"])
         m["class_layers"] = tuple(ClassLayerSpec(**x) for x in m["class_layers"])
         d["model"] = ModelConfig(**m)
-        d["shapes"] = StaticShapeConfig(
-            **{**d["shapes"], "image_hw": tuple(d["shapes"]["image_hw"])}
-        )
+        sh = dict(d["shapes"])
+        sh["image_hw"] = tuple(sh["image_hw"])
+        if sh.get("portrait_hw") is not None:
+            sh["portrait_hw"] = tuple(sh["portrait_hw"])
+        d["shapes"] = StaticShapeConfig(**sh)
         d["scales"] = tuple(d["scales"])
         return Config(**d)
 
@@ -280,7 +304,10 @@ def imagenet_config(**overrides) -> Config:
         positive_threshold=0.6,
         negative_threshold=0.25,
         model=vgg_large_model(),
-        shapes=StaticShapeConfig(image_hw=(480, 1000)),
+        # ImageNet DET photos come in both orientations; portrait images
+        # (w -> 480, h up to 1000) get their own compile bucket
+        shapes=StaticShapeConfig(image_hw=(480, 1000),
+                                 portrait_hw=(1000, 480)),
     )
     return cfg.replace(**overrides) if overrides else cfg
 

@@ -223,7 +223,11 @@ class BatchIterator:
         native_ok = (
             cfg.augmentation.random_scaling == 0
             and cfg.color_space in ("rgb", "yuv", "", None)
+            # dual-bucket routing not yet wired through the C++ batch call
+            and cfg.shapes.portrait_hw is None
         )
+        self._pending: dict = {}      # bucket -> [(img, rois, isbg)]
+        self._val_pending: List[dict] = []
         if use_native is None:
             self.use_native = native_ok and _native.available()
         else:
@@ -278,13 +282,13 @@ class BatchIterator:
             )
 
         ih, iw = img.shape[:2]
-        # Safety clamp to the compile bucket (same mechanics as the crop
-        # above). With the default configs the bucket equals the resize
-        # envelope for LANDSCAPE images, so this only fires for portrait
-        # inputs (h up to max_pixel_size at w = target_smaller_side) or
-        # user-shrunk buckets — the reference keeps those full-size
-        # (utilities.lua:188-203); we crop and warn.
-        Hb, Wb = self.cfg.shapes.image_hw
+        # Safety clamp to the best-fitting compile bucket (same mechanics as
+        # the crop above). With the default configs the buckets cover the
+        # full resize envelope (landscape via image_hw; portrait via
+        # portrait_hw when set), so this only fires for portrait inputs
+        # without a portrait bucket or user-shrunk buckets — the reference
+        # keeps those full-size (utilities.lua:188-203); we crop and warn.
+        Hb, Wb = self.cfg.shapes.bucket_for(ih, iw)
         if iw > Wb or ih > Hb:
             log.warning(
                 "image exceeds the compile bucket (%dx%d > %dx%d): cropping",
@@ -334,9 +338,9 @@ class BatchIterator:
 
     # -- batching --------------------------------------------------------------
 
-    def _pad_slot(self, img: np.ndarray, rois: List[dict]):
+    def _pad_slot(self, img: np.ndarray, rois: List[dict], bucket=None):
         s = self.cfg.shapes
-        H, W = s.image_hw
+        H, W = bucket if bucket is not None else s.image_hw
         G = s.max_gt
         h, w = img.shape[:2]
         canvas = np.zeros((H, W, 3), np.float32)
@@ -426,6 +430,8 @@ class BatchIterator:
         B = s.images_per_step
         if self.use_native:
             return self._next_training_batch_native()
+        if s.portrait_hw is not None:
+            return self._next_training_batch_bucketed()
         imgs, hws, boxes, clss, masks, isbg = [], [], [], [], [], []
 
         def add(img, rois, bg: bool):
@@ -463,6 +469,75 @@ class BatchIterator:
                 continue
             add(got[0], got[1], False)
 
+        return TrainBatch(
+            image=np.stack(imgs),
+            true_hw=np.asarray(hws, np.int32),
+            gt_boxes=np.stack(boxes),
+            gt_classes=np.stack(clss),
+            gt_mask=np.stack(masks),
+            is_background=np.asarray(isbg, bool),
+        )
+
+    def _next_training_batch_bucketed(self) -> TrainBatch:
+        """Dual-bucket assembly: each processed image routes to the compile
+        bucket that fits it (landscape ``image_hw`` / portrait
+        ``portrait_hw``); a batch is emitted when one bucket collects
+        ``images_per_step`` slots, so every train step stays fixed-shape.
+        One background slot is kept pending across buckets when background
+        files exist (the emitted batch carries it when orientations match —
+        a slight relaxation of the reference's one-per-batch,
+        ``BatchIterator.lua:252-270``)."""
+        s = self.cfg.shapes
+        B = s.images_per_step
+
+        def bg_pending():
+            return any(
+                isbg for slots in self._pending.values()
+                for (_, _, isbg) in slots
+            )
+
+        attempts = 0
+        while True:
+            attempts += 1
+            if attempts > 40 * B + 40:
+                raise RuntimeError(
+                    "could not assemble a training batch: too many "
+                    "unreadable/undersized images"
+                )
+            if len(self.background) > 0 and B > 1 and not bg_pending():
+                got = self._load_processed(
+                    self.background.next(), self.cfg.background_base_path,
+                    with_rois=False,
+                )
+                if got is not None:
+                    img = got[0]
+                    b = s.bucket_for(*img.shape[:2])
+                    self._pending.setdefault(b, []).append((img, [], True))
+            got = self._load_processed(
+                self.training.next(), self.cfg.examples_base_path,
+                with_rois=True,
+            )
+            if got is not None:
+                img, rois = got
+                b = s.bucket_for(*img.shape[:2])
+                self._pending.setdefault(b, []).append((img, rois, False))
+            for bucket, slots in self._pending.items():
+                if len(slots) >= B:
+                    # background slot first, like the non-bucketed path
+                    slots.sort(key=lambda t: not t[2])
+                    take, self._pending[bucket] = slots[:B], slots[B:]
+                    return self._assemble_bucket(bucket, take)
+
+    def _assemble_bucket(self, bucket, slots) -> TrainBatch:
+        imgs, hws, boxes, clss, masks, isbg = [], [], [], [], [], []
+        for (img, rois, bg) in slots:
+            canvas, hw, gb, gc, gm = self._pad_slot(img, rois, bucket)
+            imgs.append(canvas)
+            hws.append(hw)
+            boxes.append(gb)
+            clss.append(gc)
+            masks.append(gm)
+            isbg.append(bg)
         return TrainBatch(
             image=np.stack(imgs),
             true_hw=np.asarray(hws, np.int32),
@@ -531,15 +606,28 @@ class BatchIterator:
     def padded_validation_batch(self, count: int):
         """Fixed-shape batch for the jitted detector. With an empty or fully
         unreadable validation set, returns correctly-shaped EMPTY arrays
-        (batch 0) instead of crashing — callers iterate zero images."""
-        items = self.next_validation(count)
-        H, W = self.cfg.shapes.image_hw
-        if not items:
+        (batch 0) instead of crashing — callers iterate zero images.
+
+        With a portrait bucket configured, each returned batch is
+        orientation-homogeneous (the detector compiles one program per
+        bucket); mixed draws are queued for subsequent calls."""
+        s = self.cfg.shapes
+        if len(self._val_pending) < count:
+            items = self.next_validation(count)
+            self._val_pending.extend(items)
+        if not self._val_pending:
+            H, W = s.image_hw
             return (np.zeros((0, H, W, 3), np.float32),
                     np.zeros((0, 2), np.int32), [])
+        bucket = s.bucket_for(*self._val_pending[0]["image"].shape[:2])
+        take, rest = [], []
+        for it in self._val_pending:
+            b = s.bucket_for(*it["image"].shape[:2])
+            (take if b == bucket and len(take) < count else rest).append(it)
+        self._val_pending = rest
         imgs, hws, all_rois = [], [], []
-        for it in items:
-            canvas, hw, *_ = self._pad_slot(it["image"], it["rois"])
+        for it in take:
+            canvas, hw, *_ = self._pad_slot(it["image"], it["rois"], bucket)
             imgs.append(canvas)
             hws.append(hw)
             all_rois.append(it["rois"])

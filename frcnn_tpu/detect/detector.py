@@ -253,6 +253,22 @@ class Detector:
         self.params = params
         self.batch_stats = batch_stats
         self._detect = jax.jit(build_detect_fn(cfg, self.gen, pnet, cnet))
+        # one compiled program per compile bucket; the primary bucket's is
+        # eager, a portrait bucket's (cfg.shapes.portrait_hw) builds lazily
+        self._programs = {tuple(self.gen.image_hw): self._detect}
+
+    def _program_for(self, image_hw):
+        hw = tuple(int(x) for x in image_hw)
+        if hw not in self._programs:
+            assert hw in {tuple(b) for b in self.cfg.shapes.buckets()}, (
+                f"image bucket {hw} not in configured buckets"
+            )
+            gen = AnchorGenerator(self.cfg, image_hw=hw)
+            self._programs[hw] = jax.jit(
+                build_detect_fn(self.cfg, gen, self.pnet, self.cnet)
+            )
+        return self._programs[hw]
 
     def detect(self, images, true_hw) -> DetectionResult:
-        return self._detect(self.params, self.batch_stats, images, true_hw)
+        fn = self._program_for(images.shape[1:3])
+        return fn(self.params, self.batch_stats, images, true_hw)

@@ -55,11 +55,13 @@ class AnchorGenerator:
       tap_dims   list of (H, W) anchor-map spatial dims for the padded bucket
     """
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, image_hw: Tuple[int, int] = None):
+        """``image_hw`` overrides the bucket (default: the config's primary
+        bucket); used for the portrait bucket's anchor field."""
         self.cfg = cfg
         model = cfg.model
         self.scales = cfg.scales
-        H, W = cfg.shapes.image_hw
+        H, W = image_hw if image_hw is not None else cfg.shapes.image_hw
         self.image_hw = (H, W)
 
         self.tap_localizers = [

@@ -89,7 +89,14 @@ class Trainer:
         self.step = 0
         self.stats = TrainingStats()
 
-        loss_fn = build_objective(cfg, self.gen, self.pnet, self.cnet)
+        # one compiled train step per compile bucket (a second program only
+        # exists when cfg.shapes.portrait_hw is set); the primary bucket's
+        # step and anchor generator stay eagerly built.
+        self._steps = {tuple(cfg.shapes.image_hw): self._build_step(self.gen)}
+
+    def _build_step(self, gen: AnchorGenerator):
+        cfg = self.cfg
+        loss_fn = build_objective(cfg, gen, self.pnet, self.cnet)
 
         def train_step(params, batch_stats, opt_state, batch, rng):
             (total, (new_bs, metrics)), grads = jax.value_and_grad(
@@ -117,18 +124,30 @@ class Trainer:
             image=dat, true_hw=dat, gt_boxes=dat, gt_classes=dat,
             gt_mask=dat, is_background=dat,
         )
-        self._train_step = jax.jit(
+        return jax.jit(
             train_step,
             in_shardings=(rep, rep, rep, batch_shardings, rep),
             out_shardings=(rep, rep, rep, rep),
             donate_argnums=(0, 1, 2),
         )
 
+    def _step_for(self, image_hw):
+        hw = tuple(int(x) for x in image_hw)
+        if hw not in self._steps:
+            assert hw in {tuple(b) for b in self.cfg.shapes.buckets()}, (
+                f"batch bucket {hw} not in configured buckets"
+            )
+            self._steps[hw] = self._build_step(
+                AnchorGenerator(self.cfg, image_hw=hw)
+            )
+        return self._steps[hw]
+
     def run_step(self, batch: TrainBatch) -> Dict[str, float]:
         self.timer.start()
         self.step_rng, k = jax.random.split(self.step_rng)
+        train_step = self._step_for(batch.image.shape[1:3])
         batch = shard_batch(self.mesh, batch)
-        self.params, self.batch_stats, self.opt_state, metrics = self._train_step(
+        self.params, self.batch_stats, self.opt_state, metrics = train_step(
             self.params, self.batch_stats, self.opt_state, batch, k
         )
         self.step += 1
