@@ -223,10 +223,9 @@ class BatchIterator:
         native_ok = (
             cfg.augmentation.random_scaling == 0
             and cfg.color_space in ("rgb", "yuv", "", None)
-            # dual-bucket routing not yet wired through the C++ batch call
-            and cfg.shapes.portrait_hw is None
         )
-        self._pending: dict = {}      # bucket -> [(img, rois, isbg)]
+        self._pending: dict = {}         # bucket -> [(img, rois, isbg)]
+        self._pending_native: dict = {}  # bucket -> [(canvas, hw, rois, isbg)]
         self._val_pending: List[dict] = []
         if use_native is None:
             self.use_native = native_ok and _native.available()
@@ -362,12 +361,31 @@ class BatchIterator:
     def _resolve(self, fn: str, base: str) -> str:
         return fn if fn.startswith("/") or not base else os.path.join(base, fn)
 
+    def _peek_bucket(self, path: str):
+        """Predict an image's compile bucket from its header dimensions
+        (PIL reads only the header — no decode). Unreadable headers fall to
+        the primary bucket; the native decode reports the real failure."""
+        s = self.cfg.shapes
+        if s.portrait_hw is None:
+            return tuple(s.image_hw)
+        try:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                ow, oh = im.size
+        except Exception:
+            return tuple(s.image_hw)
+        tw, th = find_target_size(
+            ow, oh, self.cfg.target_smaller_side, self.cfg.max_pixel_size
+        )
+        return s.bucket_for(th, tw)
+
     def _native_slots(self, n: int, background: bool, augment: bool = True):
         """Decode+process ``n`` images through the C++ pipeline (threaded),
         with skip-and-top-up for corrupt/small files. Returns slot tuples
-        (canvas, (h, w), rois)."""
+        (canvas, (h, w), rois, bucket). With a portrait bucket configured,
+        names are routed by a header peek and decoded per bucket group."""
         cfg = self.cfg
-        H, W = cfg.shapes.image_hw
         slots = []
         guard = 0
         src = self.background if background else self.training
@@ -383,46 +401,53 @@ class BatchIterator:
                 for i in range(want):
                     flips[i, 0] = aug.hflip > 0 and self.rng.random() < aug.hflip
                     flips[i, 1] = aug.vflip > 0 and self.rng.random() < aug.vflip
-            out = self._native.load_process_batch(
-                paths, (H, W), cfg.target_smaller_side, cfg.max_pixel_size,
-                cfg.color_space, flips=flips,
-            )
-            canvases, out_hw, status = out
-            for i in range(want):
-                if status[i] != 0:
-                    log.warning("Invalid image '%s' (native rc=%d)", names[i], status[i])
-                    continue
-                h, w, oh, ow = (int(v) for v in out_hw[i])
-                if h < 128 or w < 128:
-                    log.warning("Skipping '%s': too small (%dx%d)", names[i], w, h)
-                    continue
-                rois = []
-                if not background:
-                    entry = self.ground_truth.get(names[i])
-                    # scale at the FULL resize target (the native path crops
-                    # at the bucket boundary, it does not squash), then clip
-                    # to the kept extent
-                    tw_full, th_full = find_target_size(
-                        ow, oh, cfg.target_smaller_side, cfg.max_pixel_size
-                    )
-                    sx, sy = tw_full / ow, th_full / oh
-                    raw = [dict(r) for r in (entry["rois"] if entry else [])]
-                    rois = _transform_rois(
-                        raw,
-                        lambda r: [r[0] * sx, r[1] * sy, r[2] * sx, r[3] * sy],
-                        ow, oh, w, h,
-                    )
-                    if flips[i, 0]:
-                        rois = _transform_rois(
-                            rois, lambda r: [w - r[2], r[1], w - r[0], r[3]],
-                            w, h, w, h,
+            groups: dict = {}
+            for i, p in enumerate(paths):
+                groups.setdefault(self._peek_bucket(p), []).append(i)
+            for bucket, idxs in groups.items():
+                out = self._native.load_process_batch(
+                    [paths[i] for i in idxs], bucket,
+                    cfg.target_smaller_side, cfg.max_pixel_size,
+                    cfg.color_space, flips=flips[idxs],
+                )
+                canvases, out_hw, status = out
+                for gi, i in enumerate(idxs):
+                    if status[gi] != 0:
+                        log.warning("Invalid image '%s' (native rc=%d)",
+                                    names[i], status[gi])
+                        continue
+                    h, w, oh, ow = (int(v) for v in out_hw[gi])
+                    if h < 128 or w < 128:
+                        log.warning("Skipping '%s': too small (%dx%d)",
+                                    names[i], w, h)
+                        continue
+                    rois = []
+                    if not background:
+                        entry = self.ground_truth.get(names[i])
+                        # scale at the FULL resize target (the native path
+                        # crops at the bucket boundary, it does not squash),
+                        # then clip to the kept extent
+                        tw_full, th_full = find_target_size(
+                            ow, oh, cfg.target_smaller_side, cfg.max_pixel_size
                         )
-                    if flips[i, 1]:
+                        sx, sy = tw_full / ow, th_full / oh
+                        raw = [dict(r) for r in (entry["rois"] if entry else [])]
                         rois = _transform_rois(
-                            rois, lambda r: [r[0], h - r[3], r[2], h - r[1]],
-                            w, h, w, h,
+                            raw,
+                            lambda r: [r[0] * sx, r[1] * sy, r[2] * sx, r[3] * sy],
+                            ow, oh, w, h,
                         )
-                slots.append((canvases[i], (h, w), rois))
+                        if flips[i, 0]:
+                            rois = _transform_rois(
+                                rois, lambda r: [w - r[2], r[1], w - r[0], r[3]],
+                                w, h, w, h,
+                            )
+                        if flips[i, 1]:
+                            rois = _transform_rois(
+                                rois, lambda r: [r[0], h - r[3], r[2], h - r[1]],
+                                w, h, w, h,
+                            )
+                    slots.append((canvases[gi], (h, w), rois, bucket))
         return slots
 
     def next_training_batch(self) -> TrainBatch:
@@ -550,16 +575,47 @@ class BatchIterator:
     def _next_training_batch_native(self) -> TrainBatch:
         s = self.cfg.shapes
         B = s.images_per_step
-        H, W = s.image_hw
-        G = s.max_gt
-        n_bg = 1 if (len(self.background) > 0 and B > 1) else 0
-        slots = []
-        if n_bg:
-            slots += [(c, hw, [], True) for (c, hw, _) in
-                      self._native_slots(n_bg, background=True)]
-        slots += [(c, hw, rois, False) for (c, hw, rois) in
-                  self._native_slots(B - len(slots), background=False)]
+        if s.portrait_hw is None:
+            n_bg = 1 if (len(self.background) > 0 and B > 1) else 0
+            slots = []
+            if n_bg:
+                slots += [(c, hw, [], True) for (c, hw, _, _b) in
+                          self._native_slots(n_bg, background=True)]
+            slots += [(c, hw, rois, False) for (c, hw, rois, _b) in
+                      self._native_slots(B - len(slots), background=False)]
+            return self._assemble_native(tuple(s.image_hw), slots)
 
+        # dual-bucket: route decoded slots into per-bucket queues, emit the
+        # first bucket that fills (same policy as the python bucketed path)
+        pend = self._pending_native
+
+        def bg_pending():
+            return any(t[3] for sl in pend.values() for t in sl)
+
+        guard = 0
+        while True:
+            guard += 1
+            if guard > 20 * B + 20:
+                raise RuntimeError(
+                    "could not assemble a training batch: too many "
+                    "unreadable/undersized images"
+                )
+            if len(self.background) > 0 and B > 1 and not bg_pending():
+                for (c, hw, _, b) in self._native_slots(1, background=True):
+                    pend.setdefault(b, []).append((c, hw, [], True))
+            for (c, hw, rois, b) in self._native_slots(B, background=False):
+                pend.setdefault(b, []).append((c, hw, rois, False))
+            for bucket, sl in pend.items():
+                if len(sl) >= B:
+                    sl.sort(key=lambda t: not t[3])  # background slot first
+                    take, pend[bucket] = sl[:B], sl[B:]
+                    return self._assemble_native(bucket, take)
+
+    def _assemble_native(self, bucket, slots) -> TrainBatch:
+        """slots: [(canvas@bucket, (h, w), rois, is_background)]."""
+        B = len(slots)
+        H, W = bucket
+        G = self.cfg.shapes.max_gt
         imgs = np.zeros((B, H, W, 3), np.float32)
         hws = np.zeros((B, 2), np.int32)
         gt_boxes = np.zeros((B, G, 4), np.float32)

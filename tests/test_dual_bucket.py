@@ -77,11 +77,17 @@ def dataset(tmp_path_factory):
     return tmp, manifest
 
 
-def test_bucket_routing_and_portrait_gt_survival(dataset):
+@pytest.mark.parametrize("use_native", [False, True])
+def test_bucket_routing_and_portrait_gt_survival(dataset, use_native):
+    from frcnn_tpu.data import native
+
+    if use_native and not native.available():
+        pytest.skip("native host pipeline not built")
     tmp, _ = dataset
     cfg = dual_cfg(tmp)
-    it = BatchIterator(cfg, str(tmp / "mix.json"), seed=1)
-    assert not it.use_native  # dual-bucket uses the python path
+    it = BatchIterator(cfg, str(tmp / "mix.json"), seed=1,
+                       use_native=use_native)
+    assert it.use_native == use_native
     seen = {}
     for _ in range(8):
         b = it.next_training_batch()
