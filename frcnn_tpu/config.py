@@ -229,6 +229,12 @@ class Config:
     # MXU, 'float32' for strict parity testing). Params are always fp32.
     compute_dtype: str = "bfloat16"
 
+    # Rematerialize the pnet forward during the backward pass
+    # (jax.checkpoint): trades ~1/3 more conv FLOPs for dropping the
+    # backbone activation footprint — lets images_per_step grow past HBM
+    # limits on large buckets. Gradients are bit-identical.
+    remat: bool = False
+
     # Pallas kernel usage in the detect path: 'off' (XLA formulations),
     # 'on' (Pallas ROI pool + NMS), 'interpret' (Pallas in interpreter
     # mode, for CPU testing of the kernel path).

@@ -90,6 +90,13 @@ def evaluate_map(cfg, detector, batch_iterator, max_images: int = 200,
         imgs, hws, rois_list = batch_iterator.padded_validation_batch(n)
         if len(rois_list) == 0:
             break
+        # keep the device batch size FIXED so a ragged final batch does not
+        # trigger a second (remote, minutes-long) XLA compile: tile the
+        # last image into the pad slots and ignore their outputs
+        if imgs.shape[0] < batch:
+            pad = batch - imgs.shape[0]
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            hws = np.concatenate([hws, np.repeat(hws[-1:], pad, axis=0)])
         out = detector.detect(imgs, hws)
         valid = np.asarray(out.valid)
         boxes = np.asarray(out.boxes)

@@ -157,11 +157,17 @@ def build_objective(cfg: Config, gen: AnchorGenerator,
             )
         )(batch.image, batch.true_hw)
 
-        # 2. pnet forward
-        anchor_maps, fm = pnet.apply(
-            {"params": params["pnet"]}, norm, train=True,
-            rngs={"dropout": rng_pdrop},
-        )
+        # 2. pnet forward (optionally rematerialized in the backward pass —
+        # the backbone activations dominate train-step HBM at large buckets)
+        def pnet_fwd(pnet_params, imgs, drop_rng):
+            return pnet.apply(
+                {"params": pnet_params}, imgs, train=True,
+                rngs={"dropout": drop_rng},
+            )
+
+        if cfg.remat:
+            pnet_fwd = jax.checkpoint(pnet_fwd)
+        anchor_maps, fm = pnet_fwd(params["pnet"], norm, rng_pdrop)
         pred = _flatten_batched(gen, anchor_maps)  # [B, A, 6]
 
         # 3. labeling (vmapped; per-image rng)

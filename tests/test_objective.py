@@ -104,6 +104,28 @@ def test_gradients_flow_everywhere(setup):
     assert nonzero >= 0.9 * len(flat), f"{nonzero}/{len(flat)} nonzero grads"
 
 
+def test_remat_gradients_identical(setup):
+    """cfg.remat rematerializes the pnet forward (jax.checkpoint); the
+    objective value and every gradient must be identical."""
+    cfg, gen, pnet, cnet, params, stats, loss_fn = setup
+    batch = make_batch(cfg, np.random.default_rng(7))
+    loss_r = build_objective(cfg.replace(remat=True), gen, pnet, cnet)
+    key = jax.random.PRNGKey(11)
+
+    def s_plain(p):
+        return loss_fn(p, stats, batch, key)[0]
+
+    def s_remat(p):
+        return loss_r(p, stats, batch, key)[0]
+
+    t0, g0 = jax.value_and_grad(s_plain)(params)
+    t1, g1 = jax.value_and_grad(s_remat)(params)
+    assert float(t0) == pytest.approx(float(t1), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_loss_invariant_to_padded_gt_garbage(setup):
     """Garbage in masked-out GT slots must not change the objective."""
     cfg, gen, pnet, cnet, params, stats, loss_fn = setup
