@@ -7,7 +7,7 @@ carry that feeds back into the input) and fetching one scalar at the end:
   t_stage ~= (t_total - t_launch) / N.
 
 Usage: python scripts/profile_detect.py [batch] [loop_iters] [stage...]
-Stages: norm fwd decode nms pool cnet full  (default: all)
+Stages: norm fwd decode select nms pool cnet full  (default: all)
 """
 
 import sys
@@ -66,7 +66,9 @@ def loop_time(make_body, n, label):
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    stages = set(sys.argv[3:]) or {"norm", "fwd", "decode", "nms", "pool", "cnet", "full"}
+    stages = set(sys.argv[3:]) or {
+        "norm", "fwd", "decode", "select", "nms", "pool", "cnet", "full"
+    }
 
     import dataclasses as _dc
 
@@ -125,6 +127,28 @@ def main():
             (tb, tsc) = jax.vmap(one)(pred, hw)
             return jnp.sum(tb[0, 0]) * 1e-20
         loop_time(body, n, "fwd+decode+topk")
+
+    if "select" in stages:
+        # top_k (overflow branch) vs O(A) compaction (real-scene branch)
+        from frcnn_tpu.geometry.matching import compact_mask
+
+        A = gen.num_anchors
+        sc0 = jnp.asarray(rng.normal(size=(bs, A)).astype(np.float32))
+        keep0 = jnp.asarray(rng.random((bs, A)) < 0.01)
+
+        def body_topk(c):
+            masked = jnp.where(keep0, sc0 + c, -jnp.inf)
+            ts, ti = jax.lax.top_k(masked, K)
+            return jnp.sum(ts[0, :2]) * 0.0
+
+        loop_time(body_topk, n, f"select:top_k(A={A})")
+
+        def body_compact(c):
+            m = keep0 & (sc0 + c > -1e9)
+            idx, val, _ = jax.vmap(lambda mm: compact_mask(mm, K))(m)
+            return jnp.sum(idx[0, :2].astype(jnp.float32)) * 1e-20
+
+        loop_time(body_compact, n, f"select:compact(A={A})")
 
     if "nms" in stages:
         rngk = np.random.default_rng(1)

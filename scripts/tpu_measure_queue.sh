@@ -17,4 +17,4 @@ run python bench.py 16 40 int8+pallas
 run python bench.py 32 40
 run python bench.py 32 40 int8
 run python scripts/profile_train.py 8 12
-run python scripts/profile_detect.py 16 60 fwd pool nms full
+run python scripts/profile_detect.py 16 60 fwd select pool nms full
