@@ -1,0 +1,94 @@
+"""Data-parallel batched serving over a device mesh.
+
+The reference serves one image at a time on one GPU
+(``Detector.lua:17-141``). Here the whole detect program (normalize ->
+pnet -> dense decode -> proposal NMS -> ROI pool -> cnet -> per-class NMS)
+runs under one jit with the image batch sharded over the mesh's data axis
+and parameters replicated — XLA partitions every stage (all are
+batch-parallel; no cross-image communication exists in detection, so the
+program lowers with zero collectives on the hot path).
+
+Throughput scales linearly in chips as long as the host can feed
+``images_per_chip x n_chips`` batches; use the multi-host input sharding
+hooks (``data/pipeline.py`` ``shard_index/num_shards``) to split decode
+across hosts over DCN.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from frcnn_tpu.config import Config
+from frcnn_tpu.detect.detector import build_detect_fn
+from frcnn_tpu.geometry.anchors import AnchorGenerator
+from frcnn_tpu.parallel.mesh import (
+    batch_sharding,
+    replicated_sharding,
+)
+
+
+class ShardedDetector:
+    """Mesh-parallel version of :class:`frcnn_tpu.detect.detector.Detector`.
+
+    ``detect(images, true_hw)``: ``images`` [B, H, W, 3] with B divisible
+    by the mesh's device count; outputs are fully replicated
+    :class:`DetectionResult` arrays (small: [B, D, ...]).
+    """
+
+    def __init__(self, cfg: Config, params, batch_stats, mesh,
+                 gen=None, pnet=None, cnet=None, quantized: bool = False):
+        from frcnn_tpu.models.factory import create_models
+
+        self.cfg = cfg
+        self.mesh = mesh
+        if pnet is None or cnet is None:
+            pnet, cnet = create_models(cfg)
+        if quantized:
+            from frcnn_tpu.models.factory import compute_dtype
+            from frcnn_tpu.models.quant import (
+                QuantizedPNetAdapter,
+                quantize_pnet_params,
+            )
+
+            qparams = quantize_pnet_params(params, cfg.model)
+            pnet = QuantizedPNetAdapter(
+                cfg.model, qparams, act_dtype=compute_dtype(cfg)
+            )
+        self.pnet, self.cnet = pnet, cnet
+        rep = replicated_sharding(mesh)
+        self.params = jax.device_put(params, rep)
+        self.batch_stats = jax.device_put(batch_stats, rep)
+        self._programs = {}
+        self._gen_primary = gen or AnchorGenerator(cfg)
+        self._programs[tuple(self._gen_primary.image_hw)] = self._jit(
+            self._gen_primary
+        )
+
+    def _jit(self, gen):
+        rep = replicated_sharding(self.mesh)
+        dat = batch_sharding(self.mesh)
+        return jax.jit(
+            build_detect_fn(self.cfg, gen, self.pnet, self.cnet),
+            in_shardings=(rep, rep, dat, dat),
+            out_shardings=rep,
+        )
+
+    def _program_for(self, image_hw):
+        hw = tuple(int(x) for x in image_hw)
+        if hw not in self._programs:
+            assert hw in {tuple(b) for b in self.cfg.shapes.buckets()}, (
+                f"image bucket {hw} not in configured buckets"
+            )
+            self._programs[hw] = self._jit(AnchorGenerator(self.cfg, image_hw=hw))
+        return self._programs[hw]
+
+    def detect(self, images, true_hw):
+        n = self.mesh.devices.size
+        assert images.shape[0] % n == 0, (
+            f"batch {images.shape[0]} must divide over {n} devices"
+        )
+        dat = batch_sharding(self.mesh)
+        images = jax.device_put(images, dat)
+        true_hw = jax.device_put(true_hw, dat)
+        fn = self._program_for(images.shape[1:3])
+        return fn(self.params, self.batch_stats, images, true_hw)

@@ -1,0 +1,61 @@
+"""Mesh-parallel serving: sharded detect == single-device detect."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frcnn_tpu.detect.detector import Detector
+from frcnn_tpu.models.factory import init_params
+from frcnn_tpu.parallel.mesh import make_mesh
+from frcnn_tpu.parallel.serving import ShardedDetector
+from tests.tiny import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params, stats = init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params, stats
+
+
+def _force_fg(cfg, params):
+    from tests.test_detector import _force_fg_params
+
+    return _force_fg_params(cfg, params)
+
+
+def test_sharded_detect_matches_single_device(setup):
+    cfg, params, stats = setup
+    p = _force_fg(cfg, params)
+    mesh = make_mesh(n_devices=8)
+    assert mesh.devices.size == 8
+
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(0.3, 0.2, (8, H, W, 3)).astype(np.float32))
+    hw = jnp.tile(jnp.asarray([[H, W]], jnp.int32), (8, 1))
+
+    single = Detector(cfg, p, stats)
+    sharded = ShardedDetector(cfg, p, stats, mesh)
+    o1 = single.detect(imgs, hw)
+    o2 = sharded.detect(np.asarray(imgs), np.asarray(hw))
+    np.testing.assert_array_equal(np.asarray(o1.valid), np.asarray(o2.valid))
+    np.testing.assert_allclose(
+        np.asarray(o1.boxes), np.asarray(o2.boxes), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o1.classes), np.asarray(o2.classes)
+    )
+    # inputs really were sharded over the data axis
+    assert o2.boxes.shape[0] == 8
+
+
+def test_sharded_detect_rejects_indivisible_batch(setup):
+    cfg, params, stats = setup
+    mesh = make_mesh(n_devices=8)
+    sharded = ShardedDetector(cfg, params, stats, mesh)
+    H, W = cfg.shapes.image_hw
+    with pytest.raises(AssertionError):
+        sharded.detect(np.zeros((3, H, W, 3), np.float32),
+                       np.tile(np.asarray([[H, W]], np.int32), (3, 1)))
