@@ -28,7 +28,8 @@ __version__ = "0.1.0"
 # Primary public API (lazy to keep `import frcnn_tpu` light).
 __all__ = [
     "Config", "duplo_config", "imagenet_config",
-    "Trainer", "Detector", "BatchIterator", "AnchorGenerator",
+    "Trainer", "Detector", "ShardedDetector", "BatchIterator",
+    "AnchorGenerator",
 ]
 
 
@@ -45,6 +46,10 @@ def __getattr__(name):
         from frcnn_tpu.detect.detector import Detector
 
         return Detector
+    if name == "ShardedDetector":
+        from frcnn_tpu.parallel.serving import ShardedDetector
+
+        return ShardedDetector
     if name == "BatchIterator":
         from frcnn_tpu.data.pipeline import BatchIterator
 
