@@ -232,8 +232,15 @@ def build_objective(cfg: Config, gen: AnchorGenerator,
             mutable=["batch_stats"],
         )
 
-        # refinement target: encode GT against the decoded (frozen) proposal
-        reg_proposal = B.decode(pos_a_boxes, jax.lax.stop_gradient(pos_pred[..., 2:6]))
+        # refinement target: encode GT against the decoded (frozen) proposal.
+        # Overflow guard on the frozen deltas: an untrained head can emit
+        # log-size deltas past ~88, whose exp() is inf in fp32; that infects
+        # dreg -> total and the NaN-guarded train step then skips EVERY
+        # update (deadlock, observed at the 800x450 scale at step 1).
+        # +-20 never binds on a real box (exp(20) ~ 5e8 px): a pure
+        # finiteness clamp, not a behavior change vs objective.lua:109.
+        frozen = jnp.clip(jax.lax.stop_gradient(pos_pred[..., 2:6]), -20.0, 20.0)
+        reg_proposal = B.decode(pos_a_boxes, frozen)
         dreg_target = B.encode(reg_proposal, pos_gt_boxes)
         dreg_sum = jnp.sum(
             jnp.sum(smooth_l1(creg[:, : s.max_positives, :], dreg_target), axis=-1)

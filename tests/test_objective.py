@@ -104,6 +104,28 @@ def test_gradients_flow_everywhere(setup):
     assert nonzero >= 0.9 * len(flat), f"{nonzero}/{len(flat)} nonzero grads"
 
 
+def test_extreme_reg_deltas_keep_objective_finite(setup):
+    """An untrained head emitting huge log-size deltas must not inf the
+    objective (exp overflow in the frozen-proposal decode deadlocked the
+    NaN-guarded trainer at the 800x450 scale)."""
+    cfg, gen, pnet, cnet, params, stats, loss_fn = setup
+    p = jax.tree.map(lambda x: x, params)
+    for ai in range(4):
+        name = f"anchor{ai}_out"
+        b = np.zeros(18, np.float32)
+        for j in range(3):
+            b[6 * j + 0] = 5.0            # propose everywhere
+            b[6 * j + 2 : 6 * j + 6] = 200.0  # absurd deltas -> exp() inf
+        p["pnet"][name]["kernel"] = jnp.zeros_like(
+            jnp.asarray(params["pnet"][name]["kernel"])
+        )
+        p["pnet"][name]["bias"] = jnp.asarray(b)
+    batch = make_batch(cfg, np.random.default_rng(9))
+    total, (_, metrics) = loss_fn(p, stats, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(total)), metrics
+    assert np.isfinite(float(metrics["dreg"]))
+
+
 def test_remat_gradients_identical(setup):
     """cfg.remat rematerializes the pnet forward (jax.checkpoint); the
     objective value and every gradient must be identical."""
