@@ -194,6 +194,55 @@ def create_imagenet_manifest(dataset_name: str, base_dir: str,
     return manifest
 
 
+def create_manifest_from_t7(t7_path: str,
+                            output_path: Optional[str] = None) -> dict:
+    """Convert a reference training-data ``.t7`` file (the schema written by
+    ``create-duplo-traindata.lua:68-79`` / ``create-imagenet-traindata.lua:
+    109-120``) into this framework's JSON manifest, so datasets prepared for
+    the Torch7 reference can be used directly. Lua's 1-based class indices
+    become 0-based; ``Rect`` objects become ``[minx, miny, maxx, maxy]``."""
+    from frcnn_tpu.data import t7
+
+    raw = t7.load(t7_path)
+    if not isinstance(raw, dict) or "ground_truth" not in raw:
+        raise ValueError(f"{t7_path} is not a reference training-data file")
+
+    def rect_to_list(r):
+        state = r.state if isinstance(r, t7.TorchObject) else r
+        return [float(state["minX"]), float(state["minY"]),
+                float(state["maxX"]), float(state["maxY"])]
+
+    ground_truth = {}
+    for fn, entry in raw["ground_truth"].items():
+        rois = []
+        for roi in entry["rois"].list():
+            rois.append({
+                "rect": rect_to_list(roi["rect"]),
+                "class_name": roi.get("class_name", ""),
+                "class_index": int(roi["class_index"]) - 1,
+            })
+        ground_truth[fn] = {
+            "image_file_name": entry.get("image_file_name", fn), "rois": rois
+        }
+
+    manifest = {
+        "dataset_name": raw.get("dataset_name", "t7-import"),
+        "ground_truth": ground_truth,
+        "training_set": [str(x) for x in raw["training_set"].list()],
+        "validation_set": [str(x) for x in raw["validation_set"].list()],
+        "class_names": [str(x) for x in raw["class_names"].list()],
+        "class_index": {
+            str(k): int(v) - 1 for k, v in raw["class_index"].items()
+        },
+        "background_files": [
+            str(x) for x in raw.get("background_files", t7.LuaTable()).list()
+        ],
+    }
+    if output_path:
+        save_manifest(manifest, output_path)
+    return manifest
+
+
 def save_manifest(manifest: dict, path: str):
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

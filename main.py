@@ -10,6 +10,7 @@ entry points plus dataset import:
   evaluate         mAP on the validation split (the reference's README TODO)
   import-duplo     create-duplo-traindata.lua
   import-imagenet  create-imagenet-traindata.lua
+  import-t7        convert a reference training-data .t7 to a manifest
 
 Examples:
   python main.py train --cfg duplo --train duplo_manifest.json --name dup
@@ -204,6 +205,20 @@ def cmd_import_duplo(args):
     )
 
 
+def cmd_import_t7(args):
+    """Convert a reference training-data .t7 file to a JSON manifest."""
+    from frcnn_tpu.data.importers import create_manifest_from_t7
+
+    m = create_manifest_from_t7(args.t7, args.out)
+    log.info(
+        "Converted '%s': images: %d; classes: %d; train: %d; val: %d; "
+        "background: %d", m["dataset_name"],
+        len(m["ground_truth"]), len(m["class_names"]),
+        len(m["training_set"]), len(m["validation_set"]),
+        len(m["background_files"]),
+    )
+
+
 def cmd_import_imagenet(args):
     from frcnn_tpu.data.importers import create_imagenet_manifest
 
@@ -274,6 +289,13 @@ def main(argv=None):
     sp.add_argument("--val-size", type=float, default=0.2)
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_import_duplo)
+
+    sp = sub.add_parser(
+        "import-t7", help="reference training-data .t7 -> manifest"
+    )
+    sp.add_argument("--t7", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_import_t7)
 
     sp = sub.add_parser("import-imagenet", help="ILSVRC2015 DET XML -> manifest")
     sp.add_argument("--base-dir", required=True)
