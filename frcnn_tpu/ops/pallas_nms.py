@@ -38,7 +38,10 @@ def _kernel(x0_ref, y0_ref, x1_ref, y1_ref, valid_ref, keep_ref, *,
     x1 = x1_ref[:, :]
     y1 = y1_ref[:, :]
     area = (x1 - x0 + 1.0) * (y1 - y0 + 1.0)
-    iota = jax.lax.broadcasted_iota(jnp.float32, (B, N), 1)
+    # Mosaic's tpu.iota is integer-only (f32 iota fails verification on
+    # real TPU even though interpret mode accepts it) — generate int32
+    # and convert.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1).astype(jnp.float32)
     pri_base = jnp.float32(N) - iota
 
     def cond(state):
