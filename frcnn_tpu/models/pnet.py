@@ -33,13 +33,24 @@ class ProposalNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, block0_out=None):
         """x: [B, H, W, 3] -> (anchor_maps: list of [B, Hi, Wi, 18],
-        feature_map: [B, Hf, Wf, C_last])."""
+        feature_map: [B, Hf, Wf, C_last]).
+
+        ``block0_out``: precomputed output of the first ConvPoolBlock
+        (e.g. from the fused s2d kernel, ops/pallas_block0.py) — block 0's
+        layers are skipped and the backbone continues from block 1. The
+        skipped layers' params stay in the tree untouched."""
         cfg = self.model_cfg
-        x = x.astype(self.dtype)
         block_outputs: List = []
+        if block0_out is not None:
+            x = block0_out.astype(self.dtype)
+            block_outputs.append(x)
+        else:
+            x = x.astype(self.dtype)
         for bi, spec in enumerate(cfg.layers):
+            if block0_out is not None and bi == 0:
+                continue
             for si in range(spec.conv_steps):
                 x = nn.Conv(
                     spec.filters,

@@ -55,11 +55,18 @@ def quantize_pnet_params(params: Dict, model_cfg: ModelConfig) -> Dict:
     return q
 
 
-def _qconv(x, layer: Dict, padding, act_dtype=jnp.bfloat16):
-    """Dynamic per-tensor int8 activation quant -> int8 conv (int32
-    accumulate on the MXU) -> dequantized fp output + bias."""
-    s_x = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
-    s_x = jnp.maximum(s_x, 1e-12)
+def _qconv(x, layer: Dict, padding, act_dtype=jnp.bfloat16, s_x=None):
+    """Per-tensor int8 activation quant -> int8 conv (int32 accumulate on
+    the MXU) -> dequantized fp output + bias.
+
+    ``s_x=None`` computes the activation scale dynamically (abs-max over
+    the tensor — an extra full HBM reduce pass per conv, plus it blocks
+    XLA from fusing the quantize into the producer's epilogue because of
+    the reduce dependency). Passing a static calibrated ``s_x`` removes
+    both costs; see :func:`calibrate_pnet_scales`."""
+    if s_x is None:
+        s_x = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+        s_x = jnp.maximum(s_x, 1e-12)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         xq,
@@ -80,15 +87,37 @@ def _prelu(x, slope):
 
 
 def quant_pnet_apply(qparams: Dict, model_cfg: ModelConfig, x,
-                     act_dtype=jnp.bfloat16) -> Tuple[List, Any]:
+                     act_dtype=jnp.bfloat16, act_scales: Dict = None,
+                     _record: Dict = None, block0_out=None) -> Tuple[List, Any]:
     """Eval-mode forward identical in structure to ProposalNet.__call__.
-    x: [B, H, W, 3] -> (anchor_maps, feature_map)."""
-    x = x.astype(act_dtype)
+    x: [B, H, W, 3] -> (anchor_maps, feature_map).
+
+    ``act_scales``: optional {conv_name: scalar} static activation scales
+    (from :func:`calibrate_pnet_scales`); absent entries fall back to
+    dynamic abs-max. ``_record``: internal — a dict the dynamically
+    computed scales are written into during calibration. ``block0_out``:
+    precomputed first-block output (fused s2d kernel) — block 0 skipped."""
+    def qconv(x, name, pad):
+        s_x = None if act_scales is None else act_scales.get(name)
+        if s_x is None and _record is not None:
+            s_x = jnp.maximum(
+                jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0, 1e-12
+            )
+            _record[name] = s_x
+        return _qconv(x, qparams[name], pad, act_dtype, s_x=s_x)
+
     block_outputs = []
+    if block0_out is not None:
+        x = block0_out.astype(act_dtype)
+        block_outputs.append(x)
+    else:
+        x = x.astype(act_dtype)
     for bi, spec in enumerate(model_cfg.layers):
+        if block0_out is not None and bi == 0:
+            continue
         for si in range(spec.conv_steps):
             pad = [(spec.padH, spec.padH), (spec.padW, spec.padW)]
-            x = _qconv(x, qparams[f"block{bi}_conv{si}"], pad, act_dtype)
+            x = qconv(x, f"block{bi}_conv{si}", pad)
             x = _prelu(x, qparams[f"block{bi}_prelu{si}"]["slope"])
         x = ceil_max_pool_2x2(x)
         block_outputs.append(x)
@@ -96,11 +125,26 @@ def quant_pnet_apply(qparams: Dict, model_cfg: ModelConfig, x,
     anchor_maps = []
     for ai, aspec in enumerate(model_cfg.anchor_nets):
         h = block_outputs[aspec.input - 1]
-        h = _qconv(h, qparams[f"anchor{ai}_conv"], "VALID", act_dtype)
+        h = qconv(h, f"anchor{ai}_conv", "VALID")
         h = _prelu(h, qparams[f"anchor{ai}_prelu"]["slope"])
-        h = _qconv(h, qparams[f"anchor{ai}_out"], "VALID", act_dtype)
+        h = qconv(h, f"anchor{ai}_out", "VALID")
         anchor_maps.append(h)
     return anchor_maps, block_outputs[-1]
+
+
+def calibrate_pnet_scales(qparams: Dict, model_cfg: ModelConfig, images,
+                          act_dtype=jnp.bfloat16, margin: float = 1.0,
+                          ) -> Dict:
+    """Run the dynamic-quant forward once over a calibration batch and
+    return {conv_name: activation scale} for use as static ``act_scales``.
+
+    Scales are computed through the QUANTIZED forward (so each layer's
+    scale reflects upstream quantization error, exactly matching what the
+    dynamic path would use on this data). ``margin`` > 1 leaves headroom
+    against clipping on unseen inputs."""
+    record: Dict[str, Any] = {}
+    quant_pnet_apply(qparams, model_cfg, images, act_dtype, _record=record)
+    return {k: v * margin for k, v in record.items()}
 
 
 class QuantizedPNetAdapter:
@@ -109,11 +153,24 @@ class QuantizedPNetAdapter:
     this adapter runs the int8 path from pre-quantized params instead."""
 
     def __init__(self, model_cfg: ModelConfig, qparams: Dict,
-                 act_dtype=jnp.bfloat16):
+                 act_dtype=jnp.bfloat16, act_scales: Dict = None):
         self.model_cfg = model_cfg
         self.qparams = qparams
         self.act_dtype = act_dtype
+        self.act_scales = act_scales
 
-    def apply(self, variables, x, train: bool = False, rngs=None):
+    def calibrate(self, images):
+        """Record static activation scales from a calibration batch (see
+        :func:`calibrate_pnet_scales`); subsequent ``apply`` calls skip the
+        per-conv dynamic abs-max reduce."""
+        self.act_scales = calibrate_pnet_scales(
+            self.qparams, self.model_cfg, images, self.act_dtype
+        )
+        return self
+
+    def apply(self, variables, x, train: bool = False, rngs=None,
+              block0_out=None):
         del variables, train, rngs
-        return quant_pnet_apply(self.qparams, self.model_cfg, x, self.act_dtype)
+        return quant_pnet_apply(self.qparams, self.model_cfg, x,
+                                self.act_dtype, act_scales=self.act_scales,
+                                block0_out=block0_out)

@@ -6,8 +6,12 @@ data-dependent iterations INSIDE one XLA program (lax.fori_loop with a
 carry that feeds back into the input) and fetching one scalar at the end:
   t_stage ~= (t_total - t_launch) / N.
 
-Usage: python scripts/profile_detect.py [batch] [loop_iters] [stage...]
+Usage: python scripts/profile_detect.py [batch] [loop_iters] [stage...] [mode=MODE]
 Stages: norm fwd decode select nms pool cnet full  (default: all)
+MODE: any bench.py mode string, e.g. mode=int8s+pallas — int8[s] swaps the
+backbone for the quantized path ([s] = static calibrated act scales);
+pallas swaps NMS/ROI-pool for the Pallas kernels (incl. the isolated
+nms/pool stages).
 """
 
 import sys
@@ -66,7 +70,13 @@ def loop_time(make_body, n, label):
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    stages = set(sys.argv[3:]) or {
+    rest = sys.argv[3:]
+    mode = "bf16"
+    for a in list(rest):
+        if a.startswith("mode="):
+            mode = a[5:]
+            rest.remove(a)
+    stages = set(rest) or {
         "norm", "fwd", "decode", "select", "nms", "pool", "cnet", "full"
     }
 
@@ -76,6 +86,8 @@ def main():
     # full 450x1000 wide-image envelope)
     cfg = duplo_config()
     cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
+    if "pallas" in mode:
+        cfg = cfg.replace(pallas_mode="on")
     gen = AnchorGenerator(cfg)
     pnet, cnet = create_models(cfg)
     params, stats = init_params(cfg, jax.random.PRNGKey(0))
@@ -83,6 +95,20 @@ def main():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(0.3, 0.2, (bs, H, W, 3)).astype(np.float32))
     hw = jnp.tile(jnp.asarray([[H, W]], jnp.int32), (bs, 1))
+
+    if "int8" in mode:
+        from frcnn_tpu.models.factory import compute_dtype
+        from frcnn_tpu.models.quant import (
+            QuantizedPNetAdapter,
+            quantize_pnet_params,
+        )
+
+        qparams = quantize_pnet_params(params, cfg.model)
+        pnet = QuantizedPNetAdapter(cfg.model, qparams,
+                                    act_dtype=compute_dtype(cfg))
+        if "int8s" in mode:
+            pnet.calibrate(images)
+    print(f"mode={mode}")
     s = cfg.shapes
     K, D = s.max_proposals, s.max_detections
     kh, kw = cfg.roi_pooling.kh, cfg.roi_pooling.kw
@@ -96,11 +122,107 @@ def main():
             return (jnp.sum(out[0, :2, :2]) * 1e-20).astype(jnp.float32)
         loop_time(body, n, "normalize")
 
+    if "s2dstages" in stages:
+        from frcnn_tpu.ops.normalization import normalize_s2d
+        from frcnn_tpu.ops.pallas_block0 import (
+            block0_weights_jnp,
+            fused_block0,
+            pack_s2d,
+            views_from_s2d,
+        )
+
+        lum4, chroma = pack_s2d(images)
+
+        def body_norm(c):
+            ol, oc = jax.vmap(
+                lambda l, p, h: normalize_s2d(l + c, p, h[0], h[1])
+            )(lum4, chroma, hw)
+            return ((jnp.sum(ol[0, 0, :2, 0]) + jnp.sum(oc[0, 0, :2, 0]))
+                    * 1e-20).astype(jnp.float32)
+        loop_time(body_norm, n, "normalize[s2d]")
+
+        w0 = params["pnet"]["block0_conv0"]["kernel"]
+        b0p = params["pnet"]["block0_conv0"]["bias"]
+        sl = params["pnet"]["block0_prelu0"]["slope"]
+
+        def body_b0(c):
+            wt, bias = block0_weights_jnp(w0, b0p)
+            cv, lv = views_from_s2d(lum4 + c, chroma + c)
+            out = fused_block0(cv, lv, wt, bias, sl.reshape(()))
+            return (jnp.sum(out[0, 0, :2, 0].astype(jnp.float32))
+                    * 1e-20).astype(jnp.float32)
+        loop_time(body_b0, n, "views+block0[s2d]")
+
+        def body_b0t(c):
+            wt, bias = block0_weights_jnp(w0, b0p)
+            cv, lv = views_from_s2d(lum4 + c, chroma + c)
+            out = fused_block0(cv, lv, wt, bias,
+                               sl.reshape(())).transpose(0, 1, 3, 2)
+            return (jnp.sum(out[0, 0, 0, :2].astype(jnp.float32))
+                    * 1e-20).astype(jnp.float32)
+        loop_time(body_b0t, n, "views+block0+T[s2d]")
+
+        def body_front(c):
+            nl, nc = jax.vmap(
+                lambda l, p, h: normalize_s2d(l + c, p, h[0], h[1])
+            )(lum4, chroma, hw)
+            wt, bias = block0_weights_jnp(w0, b0p)
+            cv, lv = views_from_s2d(nl, nc)
+            out = fused_block0(cv, lv, wt, bias,
+                               sl.reshape(())).transpose(0, 1, 3, 2)
+            return (jnp.sum(out[0, 0, 0, :2].astype(jnp.float32))
+                    * 1e-20).astype(jnp.float32)
+        loop_time(body_front, n, "frontend[s2d]")
+
     if "fwd" in stages:
         def body(c):
             amaps, fm = pnet.apply({"params": params["pnet"]}, images + c, train=False)
             return (jnp.sum(fm[0, 0, 0, :2]) * 1e-20).astype(jnp.float32)
         loop_time(body, n, "pnet_fwd")
+
+    if "fwdparts" in stages:
+        # cumulative timing of the backbone blocks, then + anchor heads:
+        # where inside the forward do the milliseconds go?
+        from frcnn_tpu.models.quant import quant_pnet_apply
+
+        def partial_fwd(x, n_blocks, n_heads):
+            if "int8" in mode:
+                qp, scales = pnet.qparams, pnet.act_scales
+                from frcnn_tpu.models.quant import _prelu, _qconv
+
+                def qconv(x, name, pad):
+                    s = None if scales is None else scales.get(name)
+                    return _qconv(x, qp[name], pad, pnet.act_dtype, s_x=s)
+            else:
+                raise SystemExit("fwdparts: use with mode=int8[s][+...]")
+            x = x.astype(pnet.act_dtype)
+            from frcnn_tpu.models.layers import ceil_max_pool_2x2
+            outs = []
+            for bi, spec in enumerate(cfg.model.layers[:n_blocks]):
+                for si in range(spec.conv_steps):
+                    pad = [(spec.padH, spec.padH), (spec.padW, spec.padW)]
+                    x = qconv(x, f"block{bi}_conv{si}", pad)
+                    x = _prelu(x, qp[f"block{bi}_prelu{si}"]["slope"])
+                x = ceil_max_pool_2x2(x)
+                outs.append(x)
+            acc = jnp.sum(x[0, 0, 0, :2]).astype(jnp.float32)
+            for ai, aspec in enumerate(cfg.model.anchor_nets[:n_heads]):
+                h = outs[aspec.input - 1]
+                h = qconv(h, f"anchor{ai}_conv", "VALID")
+                h = _prelu(h, qp[f"anchor{ai}_prelu"]["slope"])
+                h = qconv(h, f"anchor{ai}_out", "VALID")
+                acc = acc + jnp.sum(h[0, 0, 0, :2]).astype(jnp.float32)
+            return acc * 1e-20
+
+        nb = len(cfg.model.layers)
+        for cut in range(1, nb + 1):
+            def body(c, cut=cut):
+                return partial_fwd(images + c, cut, 0)
+            loop_time(body, n, f"blocks[0:{cut}]")
+        for heads in range(1, len(cfg.model.anchor_nets) + 1):
+            def body(c, heads=heads):
+                return partial_fwd(images + c, nb, heads)
+            loop_time(body, n, f"blocks+heads[0:{heads}]")
 
     if "decode" in stages:
         def body(c):
@@ -161,12 +283,21 @@ def main():
         tb = tb.at[:, :, 2:].add(tb[:, :, :2])
         tsc = jnp.asarray(rngk.uniform(-1, 0, (bs, K)).astype(np.float32))
 
-        def body(c):
-            idx, ok = jax.vmap(
-                lambda b, sc: nms(b + c, sc, jnp.ones((K,), bool), PROPOSAL_NMS_IOU, D)
-            )(tb, tsc)
-            return jnp.sum(idx[0, :2].astype(jnp.float32)) * 1e-20
-        loop_time(body, n, "nms(K->D)")
+        if "pallas" in mode:
+            from frcnn_tpu.ops.pallas_nms import pallas_nms
+
+            def body(c):
+                idx, ok = pallas_nms(tb + c, tsc, jnp.ones((bs, K), bool),
+                                     PROPOSAL_NMS_IOU, D)
+                return jnp.sum(idx[0, :2].astype(jnp.float32)) * 1e-20
+            loop_time(body, n, "nms(K->D)[pallas]")
+        else:
+            def body(c):
+                idx, ok = jax.vmap(
+                    lambda b, sc: nms(b + c, sc, jnp.ones((K,), bool), PROPOSAL_NMS_IOU, D)
+                )(tb, tsc)
+                return jnp.sum(idx[0, :2].astype(jnp.float32)) * 1e-20
+            loop_time(body, n, "nms(K->D)")
 
     if "pool" in stages:
         fm = jnp.asarray(rng.normal(size=(bs, gen.fm_hw[0], gen.fm_hw[1],
@@ -179,16 +310,31 @@ def main():
         )
         rects = rects.at[:, :, 2:].add(rects[:, :, :2])
 
-        def body(c):
-            def one(fm_i, r_i, hw_i):
-                fw, fh = gen.fm_localizer.feature_map_size_jax(hw_i[1], hw_i[0])
-                pr = prepare_roi_rects(
-                    gen.fm_localizer.input_to_feature_rect_jax(r_i + c), fw, fh
-                )
-                return adaptive_max_pool(fm_i, pr, kh, kw)
-            out = jax.vmap(one)(fm, rects, hw)
-            return (jnp.sum(out[0, 0, 0, 0, :2]) * 1e-20).astype(jnp.float32)
-        loop_time(body, n, f"roi_pool({D})")
+        def feature_rects(r, c):
+            fw, fh = gen.fm_localizer.feature_map_size_jax(
+                hw[:, 1], hw[:, 0]
+            )
+            return prepare_roi_rects(
+                gen.fm_localizer.input_to_feature_rect_jax(r + c),
+                fw[:, None].astype(jnp.float32),
+                fh[:, None].astype(jnp.float32),
+            )
+
+        if "pallas" in mode:
+            from frcnn_tpu.ops.pallas_roi_pool import pallas_adaptive_max_pool
+
+            def body(c):
+                out = pallas_adaptive_max_pool(fm, feature_rects(rects, c), kh, kw)
+                return (jnp.sum(out[0, 0, 0, 0, :2]) * 1e-20).astype(jnp.float32)
+            loop_time(body, n, f"roi_pool({D})[pallas]")
+        else:
+            def body(c):
+                pr = feature_rects(rects, c)
+                out = jax.vmap(
+                    lambda f, r: adaptive_max_pool(f, r, kh, kw)
+                )(fm, pr)
+                return (jnp.sum(out[0, 0, 0, 0, :2]) * 1e-20).astype(jnp.float32)
+            loop_time(body, n, f"roi_pool({D})")
 
     if "cnet" in stages:
         Dcn = kh * kw * cfg.model.layers[-1].filters

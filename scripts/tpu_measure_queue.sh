@@ -5,16 +5,14 @@ cd "$(dirname "$0")/.."
 LOG=scripts/tpu_results.log
 run() {
   echo "=== $(date +%H:%M:%S) $*" | tee -a $LOG
-  timeout 560 "$@" 2>&1 | grep -vE "WARNING|WARN |INFO " | tail -6 | tee -a $LOG
+  timeout 560 "$@" 2>&1 | grep -vE "WARNING|WARN |INFO " | tail -8 | tee -a $LOG
 }
 # health
 timeout 60 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))" || { echo "tunnel down"; exit 1; }
 
-run python bench.py 16 40
-run python bench.py 16 40 int8
-run python bench.py 16 40 pallas
-run python bench.py 16 40 int8+pallas
-run python bench.py 32 40
-run python bench.py 32 40 int8
-run python scripts/profile_train.py 8 12
-run python scripts/profile_detect.py 16 60 fwd select pool nms full
+# headline candidate: split-layout s2d frontend (Pallas block0 + planar norm)
+run python bench.py 16 40 int8s+pallas+s2d
+run python bench.py 16 40 int8s+pallas+s2d
+run python scripts/profile_detect.py 16 60 s2dstages
+run python scripts/bench_block0.py normparts 16 40
+run python bench.py 32 40 int8s+pallas+s2d

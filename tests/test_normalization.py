@@ -111,3 +111,41 @@ def test_zero_std_channel_untouched():
     img[:, :, 1] = 5.0  # constant channel -> after centering all zeros
     out = np.asarray(normalize_image(jnp.asarray(img), 16, 16, method="none"))
     assert np.isfinite(out).all()
+
+
+def test_normalize_s2d_matches_nhwc_pipeline():
+    """normalize_s2d on the split s2d layout == pack_s2d(normalize_image):
+    the serving path may normalize after host-side packing with no
+    numerical divergence (beyond fp reassociation)."""
+    from frcnn_tpu.ops.normalization import normalize_s2d
+    from frcnn_tpu.ops.pallas_block0 import pack_s2d
+
+    rng = np.random.default_rng(7)
+    H, W = 32, 48
+    for th, tw in [(32, 48), (26, 40)]:
+        img = np.zeros((H, W, 3), np.float32)
+        img[:th, :tw] = rng.normal(0.4, 0.3, (th, tw, 3)).astype(np.float32)
+        wl, wc = pack_s2d(normalize_image(jnp.asarray(img), th, tw)[None])
+        l4, ch = pack_s2d(jnp.asarray(img)[None])
+        gl, gc = normalize_s2d(l4[0], ch[0], th, tw)
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(wl)[0],
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(wc)[0],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_normalize_s2d_no_contrastive():
+    from frcnn_tpu.ops.normalization import normalize_s2d
+    from frcnn_tpu.ops.pallas_block0 import pack_s2d
+
+    rng = np.random.default_rng(8)
+    img = rng.normal(0.4, 0.3, (20, 24, 3)).astype(np.float32)
+    wl, wc = pack_s2d(
+        normalize_image(jnp.asarray(img), 20, 24, method="none")[None]
+    )
+    l4, ch = pack_s2d(jnp.asarray(img)[None])
+    gl, gc = normalize_s2d(l4[0], ch[0], 20, 24, method="none")
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(wl)[0],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(wc)[0],
+                               rtol=2e-4, atol=2e-4)

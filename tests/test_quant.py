@@ -99,3 +99,45 @@ def test_quant_plus_pallas_detect_matches_quant_xla(setup):
     np.testing.assert_allclose(
         np.asarray(o_x.boxes), np.asarray(o_k.boxes), rtol=1e-5, atol=1e-4
     )
+
+
+def test_static_scales_match_dynamic_on_calibration_data(setup):
+    """Calibrating on batch X then running static on X must reproduce the
+    dynamic-quant forward bit-for-bit: the scales recorded through the
+    quantized forward are exactly the ones the dynamic path computes."""
+    cfg, pnet, params, qparams = setup
+    from frcnn_tpu.models.quant import calibrate_pnet_scales
+
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (2, H, W, 3)).astype(np.float32))
+    scales = calibrate_pnet_scales(qparams, cfg.model, x, act_dtype=jnp.float32)
+    assert len(scales) > 0 and all(float(s) > 0 for s in scales.values())
+
+    amaps_d, fm_d = quant_pnet_apply(qparams, cfg.model, x, act_dtype=jnp.float32)
+    amaps_s, fm_s = quant_pnet_apply(
+        qparams, cfg.model, x, act_dtype=jnp.float32, act_scales=scales
+    )
+    np.testing.assert_array_equal(np.asarray(fm_d), np.asarray(fm_s))
+    for md, ms in zip(amaps_d, amaps_s):
+        np.testing.assert_array_equal(np.asarray(md), np.asarray(ms))
+
+
+def test_static_scales_close_to_fp32_on_unseen_data(setup):
+    """Static scales calibrated on one batch must stay accurate on a
+    different batch (the serving scenario)."""
+    cfg, pnet, params, qparams = setup
+    from frcnn_tpu.models.quant import calibrate_pnet_scales
+
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(4)
+    xc = jnp.asarray(rng.normal(0, 1, (2, H, W, 3)).astype(np.float32))
+    xe = jnp.asarray(rng.normal(0, 1, (2, H, W, 3)).astype(np.float32))
+    scales = calibrate_pnet_scales(qparams, cfg.model, xc, act_dtype=jnp.float32)
+    amaps_f, fm_f = pnet.apply({"params": params["pnet"]}, xe, train=False)
+    amaps_s, fm_s = quant_pnet_apply(
+        qparams, cfg.model, xe, act_dtype=jnp.float32, act_scales=scales
+    )
+    for mf, ms in zip(amaps_f, amaps_s):
+        assert _cos(np.asarray(mf), np.asarray(ms)) > 0.99
+    assert _cos(np.asarray(fm_f), np.asarray(fm_s)) > 0.99
