@@ -40,7 +40,6 @@ from frcnn_tpu.models.pnet import ProposalNet
 from frcnn_tpu.ops.nms import nms
 from frcnn_tpu.ops.normalization import normalize_image
 from frcnn_tpu.ops.roi_pool import adaptive_max_pool, prepare_roi_rects
-from frcnn_tpu.train.objective import _flatten_batched
 
 FG_THRESHOLD = 0.95       # P(fg) cutoff (Detector.lua:54)
 PROPOSAL_NMS_IOU = 0.25   # Detector.lua:81
@@ -88,7 +87,12 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
     """
     s = cfg.shapes
     kh, kw = cfg.roi_pooling.kh, cfg.roi_pooling.kw
-    anchor_boxes = jnp.asarray(gen.boxes)
+    # anchor tables permuted to the maps' native flat order (y, x, aspect)
+    # so flattening needs no per-map relayout (see AnchorGenerator
+    # .detect_order); host-side numpy, free at build time
+    perm = gen.detect_order()
+    anchor_boxes = jnp.asarray(gen.boxes[perm])
+    fy_d, fx_d = gen.fy[perm], gen.fx[perm]
     K = s.max_proposals
     D = s.max_detections
     fm_loc = gen.fm_localizer
@@ -170,7 +174,12 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
             anchor_maps, fm = pnet.apply(
                 {"params": params["pnet"]}, images, train=False
             )
-        pred = _flatten_batched(gen, anchor_maps)  # [B, A, 6]
+        # transpose-free flatten: [B, Hi, Wi, 18] -> [B, Hi*Wi*3, 6] per
+        # map; anchor tables above are permuted to this native order
+        bsz = anchor_maps[0].shape[0]
+        pred = jnp.concatenate(
+            [m.reshape(bsz, -1, 6) for m in anchor_maps], axis=1
+        ).astype(jnp.float32)  # [B, A, 6]
 
         h = true_hw[:, 0]
         w = true_hw[:, 1]
@@ -185,7 +194,9 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
         keep = (
             (p_fg > FG_THRESHOLD)
             & B.overlaps(decoded, img_rect[:, None, :])
-            & jax.vmap(gen.fm_valid_mask)(h, w)
+            & jax.vmap(
+                lambda th, tw: gen.fm_valid_mask(th, tw, fy=fy_d, fx=fx_d)
+            )(h, w)
         )
 
         top_idx, top_valid = select_proposals(keep, score, K)
@@ -308,5 +319,21 @@ class Detector:
         return self._programs[hw]
 
     def detect(self, images, true_hw) -> DetectionResult:
+        """``images``: [B, H, W, 3] NHWC. With ``cfg.input_layout='s2d'``
+        the space-to-depth pack runs host-side (numpy) before the device
+        transfer; callers may also pass an already-packed (lum4, chroma)
+        pair directly."""
+        if getattr(self.cfg, "input_layout", "nhwc") == "s2d":
+            if isinstance(images, (tuple, list)):
+                lum4, chroma = images
+                hc, wc = chroma.shape[1], chroma.shape[3]
+                hw = ((hc - 1) * 2, (wc - 1) * 2)
+            else:
+                from frcnn_tpu.ops.pallas_block0 import pack_s2d_np
+
+                hw = images.shape[1:3]
+                lum4, chroma = pack_s2d_np(images)
+            fn = self._program_for(hw)
+            return fn(self.params, self.batch_stats, (lum4, chroma), true_hw)
         fn = self._program_for(images.shape[1:3])
         return fn(self.params, self.batch_stats, images, true_hw)

@@ -166,6 +166,26 @@ class AnchorGenerator:
             flats.append(x.reshape(-1, 6))
         return jnp.concatenate(flats, axis=0)
 
+    def detect_order(self) -> np.ndarray:
+        """Permutation mapping the anchor maps' NATIVE flat order (per tap:
+        y, x, aspect — i.e. ``[H, W, 18].reshape(-1, 6)`` with no
+        transpose) to canonical indices: ``perm[native_idx] =
+        canonical_idx``. The serving path flattens maps without the
+        per-map [H, W, 3, 6] -> [3, H, W, 6] relayout and instead indexes
+        anchor tables through this (host-precomputed) permutation —
+        ordering is irrelevant to detection, only pred[i] <-> anchor[i]
+        consistency matters."""
+        parts, off = [], 0
+        for (h, w) in self.tap_dims:
+            n = h * w
+            yy, xx, jj = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            canon = off + jj * n + yy * w + xx          # [h, w, 3]
+            parts.append(canon.reshape(-1))
+            off += 3 * n
+        return np.concatenate(parts).astype(np.int32)
+
     def unflatten_to_tap_deltas(self, flat):
         """Inverse of :meth:`flatten_tap_outputs` for tests/debug."""
         outs, start = [], 0
@@ -176,13 +196,16 @@ class AnchorGenerator:
             start += n
         return outs
 
-    def fm_valid_mask(self, true_h, true_w):
+    def fm_valid_mask(self, true_h, true_w, fy=None, fx=None):
         """Anchors whose feature cell exists in the *true-size* anchor map —
         the vectorized ``cleanAnchors`` (``objective.lua:32-43``). Returns a
-        [A] bool mask; true_h/true_w may be traced scalars."""
+        [A] bool mask; true_h/true_w may be traced scalars. ``fy``/``fx``
+        override the per-anchor cell tables (e.g. permuted to
+        :meth:`detect_order`; tap extents are order-invariant since the
+        permutation only shuffles within tap blocks)."""
         slices = self.flat_slices()
-        fy = jnp.asarray(self.fy)
-        fx = jnp.asarray(self.fx)
+        fy = jnp.asarray(self.fy if fy is None else fy)
+        fx = jnp.asarray(self.fx if fx is None else fx)
         mask = jnp.zeros((self.num_anchors,), bool)
         for i, loc in enumerate(self.tap_localizers):
             w_t, h_t = loc.feature_map_size_jax(true_w, true_h)

@@ -57,7 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(c0_ref, c1_ref, c2_ref, c3_ref, l0_ref, l1_ref, l2_ref, l3_ref,
             wt_ref, bias_ref, slope_ref, out_ref, scratch, *, tr: int,
-            f: int):
+            f: int, nhwc_out: bool):
     cviews = (c0_ref, c1_ref, c2_ref, c3_ref)
     lviews = (l0_ref, l1_ref, l2_ref, l3_ref)
     wo = scratch.shape[1]
@@ -83,7 +83,12 @@ def _kernel(c0_ref, c1_ref, c2_ref, c3_ref, l0_ref, l1_ref, l2_ref, l3_ref,
             jnp.maximum(y[0 * f:1 * f], y[1 * f:2 * f]),
             jnp.maximum(y[2 * f:3 * f], y[3 * f:4 * f]),
         )
-        out_ref[0, r] = m.astype(out_ref.dtype)
+        if nhwc_out:
+            # emit [W, F] directly: the in-VMEM transpose replaces a
+            # separate [B, Ho, F, Wo] -> NHWC XLA relayout pass over HBM
+            out_ref[0, r] = m.T.astype(out_ref.dtype)
+        else:
+            out_ref[0, r] = m.astype(out_ref.dtype)
 
 
 def _k_index(cy, cx, qy, qx, c):
@@ -167,6 +172,24 @@ def pack_s2d(x):
     return lum4, chroma
 
 
+def pack_s2d_np(x):
+    """Pure-numpy :func:`pack_s2d` for the HOST side of the serving path:
+    the pack happens on CPU before the device transfer, so the device only
+    ever sees the kernel-native layout (a device-side repack costs
+    ~3 ms/batch16, measured)."""
+    x = np.asarray(x)
+    B, H, W, C = x.shape
+    assert C == 3 and H % 2 == 0 and W % 2 == 0
+    xp = np.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    Hc, Wc = (H + 2) // 2, (W + 2) // 2
+    ph = xp.reshape(B, Hc, 2, Wc, 2, 3)
+    lum4 = np.ascontiguousarray(
+        ph[..., 0].transpose(0, 2, 4, 1, 3)).reshape(B, 4, Hc, Wc)
+    chroma = np.ascontiguousarray(
+        ph[..., 1:].transpose(0, 1, 2, 4, 5, 3)).reshape(B, Hc, 8, Wc)
+    return lum4, chroma
+
+
 def views_from_s2d(lum4, chroma, out_dtype=jnp.bfloat16):
     """(lum4 [B,4,Hc,Wc], chroma [B,Hc,8,Wc]) -> kernel inputs: four
     chroma views [B, Ho, 8, Wo] and four luminance views [B, 4, Ho, Wo]
@@ -183,7 +206,8 @@ def views_from_s2d(lum4, chroma, out_dtype=jnp.bfloat16):
 
 
 def fused_block0(cviews, lviews, wt, bias, slope, out_dtype=jnp.bfloat16,
-                 tr: int = 8, interpret: bool = False):
+                 tr: int = 8, interpret: bool = False,
+                 out_layout: str = "cmid"):
     """Run the fused block0 kernel.
 
     Args:
@@ -192,26 +216,31 @@ def fused_block0(cviews, lviews, wt, bias, slope, out_dtype=jnp.bfloat16,
       lviews: four [B, 4, Ho, Wo] bf16 luminance views.
       wt, bias: from :func:`block0_weights` (device arrays ok).
       slope: scalar PReLU slope.
-    Returns [B, Ho, F, Wo] (channels-middle layout; callers transpose to
-    NHWC or consume directly).
+      out_layout: 'cmid' -> [B, Ho, F, Wo] (channels-middle); 'nhwc' ->
+        [B, Ho, Wo, F] written transposed in-kernel (saves the XLA
+        relayout pass the downstream NHWC conv would otherwise trigger).
+    Returns the block-0 output in the requested layout.
     """
     B, Ho, _, Wo = cviews[0].shape
     f4 = wt.shape[0]
     f = f4 // 4
+    nhwc_out = out_layout == "nhwc"
     grid = (B, (Ho + tr - 1) // tr)
-    kern = functools.partial(_kernel, tr=tr, f=f)
+    kern = functools.partial(_kernel, tr=tr, f=f, nhwc_out=nhwc_out)
     cspec = pl.BlockSpec((1, tr, 8, Wo), lambda b, t: (b, t, 0, 0))
     lspec = pl.BlockSpec((1, 4, tr, Wo), lambda b, t: (b, 0, t, 0))
+    out_shape = (B, Ho, Wo, f) if nhwc_out else (B, Ho, f, Wo)
+    out_block = (1, tr, Wo, f) if nhwc_out else (1, tr, f, Wo)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, Ho, f, Wo), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
         grid=grid,
         in_specs=[cspec] * 4 + [lspec] * 4 + [
             pl.BlockSpec((f4, 64), lambda b, t: (0, 0)),
             pl.BlockSpec((f4, 1), lambda b, t: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, tr, f, Wo), lambda b, t: (b, t, 0, 0)),
+        out_specs=pl.BlockSpec(out_block, lambda b, t: (b, t, 0, 0)),
         scratch_shapes=[pltpu.VMEM((64, Wo), jnp.bfloat16)],
         interpret=interpret,
     )(

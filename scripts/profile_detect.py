@@ -162,6 +162,15 @@ def main():
                     * 1e-20).astype(jnp.float32)
         loop_time(body_b0t, n, "views+block0+T[s2d]")
 
+        def body_b0n(c):
+            wt, bias = block0_weights_jnp(w0, b0p)
+            cv, lv = views_from_s2d(lum4 + c, chroma + c)
+            out = fused_block0(cv, lv, wt, bias, sl.reshape(()),
+                               out_layout="nhwc")
+            return (jnp.sum(out[0, 0, 0, :2].astype(jnp.float32))
+                    * 1e-20).astype(jnp.float32)
+        loop_time(body_b0n, n, "views+block0(nhwc)[s2d]")
+
         def body_front(c):
             nl, nc = jax.vmap(
                 lambda l, p, h: normalize_s2d(l + c, p, h[0], h[1])

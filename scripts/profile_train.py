@@ -3,7 +3,10 @@
 Times N data-dependent train steps inside one XLA program (same fetch-based
 method as profile_detect.py). Reports steps/sec and images/sec.
 
-Usage: python scripts/profile_train.py [images_per_step] [loop_iters]
+Usage: python scripts/profile_train.py [images_per_step] [loop_iters] [stage...]
+Stages (default: step): loss (objective fwd only), grad (value_and_grad,
+no update), step (grad + optimizer apply). loss vs grad isolates the
+backward pass; grad vs step isolates the rmsprop update.
 """
 
 import dataclasses
@@ -31,6 +34,7 @@ import optax
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    stages = set(sys.argv[3:]) or {"step"}
 
     import dataclasses as _dc
 
@@ -73,34 +77,57 @@ def main():
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, new_opt, total
 
-    @jax.jit
-    def run(k, params, stats, opt_state, batch):
-        def body(i, carry):
-            p, s, o, acc = carry
-            rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
-            p, s, o, total = step(p, s, o, batch, rng)
-            return p, s, o, acc + total * 1e-20
-        p, s, o, acc = jax.lax.fori_loop(
-            0, k, body, (params, stats, opt_state, jnp.float32(0.0))
-        )
-        return acc
+    def measure(label, body_step):
+        @jax.jit
+        def run(k, params, stats, opt_state, batch):
+            def body(i, carry):
+                p, s, o, acc = carry
+                rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
+                p, s, o, total = body_step(p, s, o, batch, rng)
+                return p, s, o, acc + total * 1e-20
+            p, s, o, acc = jax.lax.fori_loop(
+                0, k, body, (params, stats, opt_state, jnp.float32(0.0))
+            )
+            return acc
 
-    t0 = time.perf_counter()
-    _ = float(run(1, params, stats, opt_state, batch))
-    print(f"# compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        _ = float(run(1, params, stats, opt_state, batch))
+        print(f"# {label} compile+first: {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
 
-    def timed(k, trials=3):
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            _ = float(run(k, params, stats, opt_state, batch))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        def timed(k, trials=3):
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                _ = float(run(k, params, stats, opt_state, batch))
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-    small, big = 1 + n // 4, 1 + n
-    per = (timed(big) - timed(small)) / (big - small)
-    print(f"train step ({B} img): {per*1e3:.1f} ms -> {1/per:.2f} steps/s, "
-          f"{B/per:.1f} img/s")
+        small, big = 1 + n // 4, 1 + n
+        per = (timed(big) - timed(small)) / (big - small)
+        print(f"{label} ({B} img): {per*1e3:.1f} ms -> {1/per:.2f}/s, "
+              f"{B/per:.1f} img/s")
+
+    if "loss" in stages:
+        # forward objective only: fold the loss back into the params so
+        # iterations stay data-dependent (sequential under XLA)
+        def loss_only(p, s, o, batch, rng):
+            total, (new_bs, _) = loss_fn(p, s, batch, rng)
+            newp = jax.tree_util.tree_map(lambda a: a + total * 1e-30, p)
+            return newp, new_bs, o, total
+        measure("objective fwd", loss_only)
+
+    if "grad" in stages:
+        def grad_only(p, s, o, batch, rng):
+            (total, (new_bs, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(p, s, batch, rng)
+            newp = jax.tree_util.tree_map(lambda a, g: a - 1e-30 * g, p, grads)
+            return newp, new_bs, o, total
+        measure("fwd+bwd", grad_only)
+
+    if "step" in stages:
+        measure("train step", step)
 
 
 if __name__ == "__main__":

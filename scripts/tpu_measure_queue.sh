@@ -16,3 +16,5 @@ run python bench.py 16 40 int8s+pallas+s2d
 run python scripts/profile_detect.py 16 60 s2dstages
 run python scripts/bench_block0.py normparts 16 40
 run python bench.py 32 40 int8s+pallas+s2d
+run python scripts/profile_train.py 8 12 loss grad step
+run python scripts/profile_detect.py 16 60 fwdparts mode=int8s

@@ -187,3 +187,28 @@ def test_golden_anchor_values(gen):
         gen.get(3, 2, 1, 1), [72 - a3 / 2, 72 - a3, 72 + a3 / 2, 72 + a3],
         rtol=1e-6,
     )
+
+
+def test_detect_order_permutation(gen):
+    """detect_order maps the maps' native (y, x, aspect) flat order to
+    canonical indices: flattening an anchor map WITHOUT the per-map
+    transpose and indexing tables through the permutation must agree with
+    the canonical flatten."""
+    perm = gen.detect_order()
+    A = gen.num_anchors
+    assert sorted(perm.tolist()) == list(range(A))  # a true permutation
+    # synthesize per-tap maps whose value encodes the canonical index
+    rng = np.random.default_rng(0)
+    maps = []
+    for i, (h, w) in enumerate(gen.tap_dims):
+        s, e = gen.flat_slices()[i]
+        n = h * w
+        canon = np.arange(s, e).reshape(3, h, w)      # canonical (j, y, x)
+        m = np.transpose(canon, (1, 2, 0)).reshape(h, w, 3)
+        maps.append(np.repeat(m[..., None], 6, axis=-1).astype(np.float32))
+    native_flat = np.concatenate(
+        [m.reshape(-1, 6) for m in maps], axis=0
+    )[:, 0].astype(np.int64)
+    np.testing.assert_array_equal(native_flat, perm)
+    # permuted tables line up: boxes[perm][i] is the anchor of native i
+    np.testing.assert_allclose(gen.boxes[perm][perm.argsort()], gen.boxes)

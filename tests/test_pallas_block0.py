@@ -42,6 +42,24 @@ def test_block0_kernel_parity(hw):
                                rtol=0.05, atol=0.05)
 
 
+def test_block0_kernel_nhwc_out_layout():
+    """out_layout='nhwc' (in-kernel transpose) == cmid output transposed."""
+    H, W = 12, 16
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (2, H, W, 3)).astype(np.float32))
+    w = rng.normal(0, 0.2, (3, 3, 3, 64)).astype(np.float32)
+    b = rng.normal(0, 0.1, (64,)).astype(np.float32)
+    lum4, chroma = pack_s2d(x)
+    cviews, lviews = views_from_s2d(lum4, chroma)
+    wt, bias = block0_weights(w, b)
+    cmid = fused_block0(cviews, lviews, wt, bias, 0.25, interpret=True)
+    nhwc = fused_block0(cviews, lviews, wt, bias, 0.25, interpret=True,
+                        out_layout="nhwc")
+    np.testing.assert_array_equal(
+        np.asarray(cmid.transpose(0, 1, 3, 2)), np.asarray(nhwc)
+    )
+
+
 def test_block0_kernel_partial_last_tile():
     """Ho=9 with tr=8 leaves a 1-row last tile; out-of-bounds rows must
     be discarded, in-bounds rows exact."""
@@ -108,6 +126,16 @@ def test_s2d_detect_path_matches_nhwc():
     cfg_s = cfg.replace(input_layout="s2d")
     packed = pack_s2d(imgs)
     o_s2d = build_detect_fn(cfg_s, gen, pnet, cnet)(params, stats, packed, hw)
+
+    # the Detector wrapper packs host-side from plain NHWC input
+    from frcnn_tpu.detect.detector import Detector
+
+    det = Detector(cfg_s, params, stats, gen=gen, pnet=pnet, cnet=cnet)
+    o_wrap = det.detect(np.asarray(imgs), hw)
+    np.testing.assert_array_equal(np.asarray(o_s2d.valid),
+                                  np.asarray(o_wrap.valid))
+    np.testing.assert_allclose(np.asarray(o_wrap.boxes),
+                               np.asarray(o_s2d.boxes), rtol=1e-5, atol=1e-3)
 
     np.testing.assert_array_equal(np.asarray(o_ref.valid),
                                   np.asarray(o_s2d.valid))
