@@ -36,7 +36,8 @@ class ShardedDetector:
     """
 
     def __init__(self, cfg: Config, params, batch_stats, mesh,
-                 gen=None, pnet=None, cnet=None, quantized: bool = False):
+                 gen=None, pnet=None, cnet=None, quantized: bool = False,
+                 quant_calibration=None):
         from frcnn_tpu.models.factory import create_models
 
         self.cfg = cfg
@@ -54,6 +55,8 @@ class ShardedDetector:
             pnet = QuantizedPNetAdapter(
                 cfg.model, qparams, act_dtype=compute_dtype(cfg)
             )
+            if quant_calibration is not None:
+                pnet.calibrate(quant_calibration)
         self.pnet, self.cnet = pnet, cnet
         rep = replicated_sharding(mesh)
         self.params = jax.device_put(params, rep)
@@ -83,12 +86,21 @@ class ShardedDetector:
         return self._programs[hw]
 
     def detect(self, images, true_hw):
+        """``images``: [B, H, W, 3] NHWC (with ``cfg.input_layout='s2d'``
+        the space-to-depth pack runs host-side before sharding — both
+        plane arrays are batch-major, so the data sharding broadcasts
+        over the pair)."""
         n = self.mesh.devices.size
         assert images.shape[0] % n == 0, (
             f"batch {images.shape[0]} must divide over {n} devices"
         )
         dat = batch_sharding(self.mesh)
+        hw = images.shape[1:3]
+        if getattr(self.cfg, "input_layout", "nhwc") == "s2d":
+            from frcnn_tpu.ops.pallas_block0 import pack_s2d_np
+
+            images = pack_s2d_np(images)
         images = jax.device_put(images, dat)
         true_hw = jax.device_put(true_hw, dat)
-        fn = self._program_for(images.shape[1:3])
+        fn = self._program_for(hw)
         return fn(self.params, self.batch_stats, images, true_hw)

@@ -59,3 +59,24 @@ def test_sharded_detect_rejects_indivisible_batch(setup):
     with pytest.raises(AssertionError):
         sharded.detect(np.zeros((3, H, W, 3), np.float32),
                        np.tile(np.asarray([[H, W]], np.int32), (3, 1)))
+
+
+def test_sharded_detect_s2d_layout(setup):
+    """s2d input layout through the sharded path (host-side pack +
+    tuple input broadcast over the data sharding) == NHWC sharded."""
+    cfg, params, stats = setup
+    p = _force_fg(cfg, params)
+    mesh = make_mesh(n_devices=8)
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(3)
+    imgs = rng.normal(0.3, 0.2, (8, H, W, 3)).astype(np.float32)
+    hw = np.tile(np.asarray([[H, W]], np.int32), (8, 1))
+
+    ref = ShardedDetector(cfg.replace(pallas_mode="interpret"), p, stats,
+                          mesh).detect(imgs, hw)
+    cfg_s = cfg.replace(pallas_mode="interpret", input_layout="s2d")
+    got = ShardedDetector(cfg_s, p, stats, mesh).detect(imgs, hw)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    v = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(got.boxes)[v],
+                               np.asarray(ref.boxes)[v], rtol=0.02, atol=0.5)
