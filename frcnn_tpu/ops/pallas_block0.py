@@ -60,35 +60,45 @@ def _kernel(c0_ref, c1_ref, c2_ref, c3_ref, l0_ref, l1_ref, l2_ref, l3_ref,
             f: int, nhwc_out: bool):
     cviews = (c0_ref, c1_ref, c2_ref, c3_ref)
     lviews = (l0_ref, l1_ref, l2_ref, l3_ref)
-    wo = scratch.shape[1]
+    wo = c0_ref.shape[3]
+    ws = scratch.shape[1] // tr          # 128-aligned per-row stride
     for g in range(4):
         # basis rows 12..15 of each 16-group are padding; the matmul reads
         # all 64 scratch rows, so they must be zero, not stale VMEM
-        scratch[16 * g + 12:16 * (g + 1), :] = jnp.zeros((4, wo),
-                                                         scratch.dtype)
-    for r in range(tr):
-        for g in range(4):
-            scratch[16 * g:16 * g + 8, :] = cviews[g][0, r]
-            for p in range(4):
-                scratch[16 * g + 8 + p, :] = lviews[g][0, p, r, :]
-        y = jax.lax.dot_general(
-            wt_ref[:, :], scratch[:, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [4f, W]
-        y = y + bias_ref[:, :]
-        slope = slope_ref[0, 0]
-        y = jnp.where(y >= 0.0, y, slope * y)
-        m = jnp.maximum(
-            jnp.maximum(y[0 * f:1 * f], y[1 * f:2 * f]),
-            jnp.maximum(y[2 * f:3 * f], y[3 * f:4 * f]),
+        scratch[16 * g + 12:16 * (g + 1), :] = jnp.zeros(
+            (4, tr * ws), scratch.dtype
         )
+    # patch columns for ALL tr rows side by side -> ONE [4f, 64] x
+    # [64, tr*WS] MXU matmul per grid step (a per-row [64, W] matmul left
+    # the MXU under-fed: M=256/K=64 setup and the epilogue ran 8x). Row
+    # segments sit at a 128-multiple stride WS so every scratch write is
+    # lane-aligned; the pad columns hold garbage the output slicing drops.
+    for r in range(tr):
+        sl = slice(r * ws, r * ws + wo)
+        for g in range(4):
+            scratch[16 * g:16 * g + 8, sl] = cviews[g][0, r]
+            for p in range(4):
+                scratch[16 * g + 8 + p, sl] = lviews[g][0, p, r, :]
+    y = jax.lax.dot_general(
+        wt_ref[:, :], scratch[:, :],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [4f, tr*WS]
+    y = y + bias_ref[:, :]
+    slope = slope_ref[0, 0]
+    y = jnp.where(y >= 0.0, y, slope * y)
+    m = jnp.maximum(
+        jnp.maximum(y[0 * f:1 * f], y[1 * f:2 * f]),
+        jnp.maximum(y[2 * f:3 * f], y[3 * f:4 * f]),
+    )  # [f, tr*WS]
+    for r in range(tr):
+        blk = m[:, r * ws:r * ws + wo]
         if nhwc_out:
             # emit [W, F] directly: the in-VMEM transpose replaces a
             # separate [B, Ho, F, Wo] -> NHWC XLA relayout pass over HBM
-            out_ref[0, r] = m.T.astype(out_ref.dtype)
+            out_ref[0, r] = blk.T.astype(out_ref.dtype)
         else:
-            out_ref[0, r] = m.astype(out_ref.dtype)
+            out_ref[0, r] = blk.astype(out_ref.dtype)
 
 
 def _k_index(cy, cx, qy, qx, c):
@@ -241,7 +251,8 @@ def fused_block0(cviews, lviews, wt, bias, slope, out_dtype=jnp.bfloat16,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(out_block, lambda b, t: (b, t, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((64, Wo), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((64, tr * (-(-Wo // 128) * 128)),
+                                   jnp.bfloat16)],
         interpret=interpret,
     )(
         *[v.astype(jnp.bfloat16) for v in cviews],

@@ -8,7 +8,9 @@ run() {
   timeout 560 "$@" 2>&1 | grep -vE "WARNING|WARN |INFO " | tail -8 | tee -a $LOG
 }
 # health
-timeout 60 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))" || { echo "tunnel down"; exit 1; }
+timeout 90 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))" \
+  || timeout 90 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))" \
+  || { echo "tunnel down"; exit 1; }
 
 # headline candidate: split-layout s2d frontend (Pallas block0 + planar norm)
 run python bench.py 16 40 int8s+pallas+s2d

@@ -15,5 +15,5 @@ while true; do
     fi
     echo "$(date +%H:%M:%S) queue aborted (tunnel flapped?) — still watching" >> $LOG
   fi
-  sleep 240
+  sleep 75
 done
