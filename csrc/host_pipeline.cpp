@@ -374,6 +374,61 @@ void frcnn_load_process_batch(const char* paths, int n, float* canvases,
   for (auto& th : threads) th.join();
 }
 
+// Space-to-depth pack of one [H, W, 3] canvas into the TPU serving
+// layout (frcnn_tpu/ops/pallas_block0.py::pack_s2d): phase-major
+// luminance lum4 [4, Hc, Wc] and phase-interleaved chroma
+// chroma [Hc, 8, Wc], Hc = H/2+1, Wc = W/2+1, over pad(canvas, 1).
+// The pack is a host-side strided copy so the device only ever sees the
+// fused block0 kernel's native layout. H and W must be even.
+void frcnn_pack_s2d(const float* canvas, int H, int W, float* lum4,
+                    float* chroma) {
+  int Hc = H / 2 + 1, Wc = W / 2 + 1;
+  memset(lum4, 0, sizeof(float) * 4 * size_t(Hc) * Wc);
+  memset(chroma, 0, sizeof(float) * size_t(Hc) * 8 * Wc);
+  for (int qy = 0; qy < 2; ++qy) {
+    for (int qx = 0; qx < 2; ++qx) {
+      int ph = 2 * qy + qx;
+      float* lplane = lum4 + size_t(ph) * Hc * Wc;
+      for (int i = 0; i < Hc; ++i) {
+        int sy = 2 * i + qy - 1;            // source row in the canvas
+        if (sy < 0 || sy >= H) continue;
+        const float* srow = canvas + size_t(sy) * W * 3;
+        float* lrow = lplane + size_t(i) * Wc;
+        float* c0 = chroma + (size_t(i) * 8 + 2 * ph) * Wc;
+        float* c1 = c0 + Wc;
+        int j0 = (qx == 0) ? 1 : 0;         // j with 2j+qx-1 >= 0
+        int j1 = std::min(Wc, (W + 1 - qx + 1) / 2);  // 2j+qx-1 < W
+        for (int j = j0; j < j1; ++j) {
+          const float* px = srow + size_t(2 * j + qx - 1) * 3;
+          lrow[j] = px[0];
+          c0[j] = px[1];
+          c1[j] = px[2];
+        }
+      }
+    }
+  }
+}
+
+// Batched, threaded pack: canvases [n, H, W, 3] -> lum4 [n, 4, Hc, Wc],
+// chroma [n, Hc, 8, Wc].
+void frcnn_pack_s2d_batch(const float* canvases, int n, int H, int W,
+                          float* lum4, float* chroma, int num_threads) {
+  int Hc = H / 2 + 1, Wc = W / 2 + 1;
+  size_t in_stride = size_t(H) * W * 3;
+  size_t l_stride = size_t(4) * Hc * Wc;
+  size_t c_stride = size_t(Hc) * 8 * Wc;
+  int nt = std::max(1, std::min(num_threads, n));
+  std::vector<std::thread> threads;
+  auto work = [&](int tid) {
+    for (int i = tid; i < n; i += nt)
+      frcnn_pack_s2d(canvases + in_stride * i, H, W, lum4 + l_stride * i,
+                     chroma + c_stride * i);
+  };
+  for (int t = 1; t < nt; ++t) threads.emplace_back(work, t);
+  work(0);
+  for (auto& th : threads) th.join();
+}
+
 // Resample only (decoded data in, PIL-compatible), for testing the filter.
 void frcnn_resample(const float* src, int sh, int sw, float* dst, int dh,
                     int dw) {

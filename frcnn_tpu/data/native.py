@@ -84,6 +84,12 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ]
+        lib.frcnn_pack_s2d_batch.restype = None
+        lib.frcnn_pack_s2d_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -163,3 +169,25 @@ def resample(src: np.ndarray, dh: int, dw: int) -> Optional[np.ndarray]:
     dst = np.zeros((dh, dw, 3), np.float32)
     lib.frcnn_resample(_fptr(src), sh, sw, _fptr(dst), dh, dw)
     return dst
+
+
+def pack_s2d_batch(images: np.ndarray, num_threads: int = 0):
+    """Native space-to-depth pack of [B, H, W, 3] float32 NHWC into the
+    serving layout (lum4 [B, 4, Hc, Wc], chroma [B, Hc, 8, Wc]) — see
+    ops/pallas_block0.py::pack_s2d for the layout contract. Returns None
+    when the native library is unavailable (callers fall back to the
+    numpy packer)."""
+    lib = _load()
+    if lib is None:
+        return None
+    images = np.ascontiguousarray(images, np.float32)
+    B, H, W, _ = images.shape
+    assert H % 2 == 0 and W % 2 == 0
+    Hc, Wc = H // 2 + 1, W // 2 + 1
+    lum4 = np.empty((B, 4, Hc, Wc), np.float32)
+    chroma = np.empty((B, Hc, 8, Wc), np.float32)
+    if num_threads <= 0:
+        num_threads = min(B, os.cpu_count() or 1)
+    lib.frcnn_pack_s2d_batch(_fptr(images), B, H, W, _fptr(lum4),
+                             _fptr(chroma), num_threads)
+    return lum4, chroma

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from frcnn_tpu.config import Config
 from frcnn_tpu.geometry import boxes as B
@@ -329,10 +330,13 @@ class Detector:
                 hc, wc = chroma.shape[1], chroma.shape[3]
                 hw = ((hc - 1) * 2, (wc - 1) * 2)
             else:
+                from frcnn_tpu.data import native
                 from frcnn_tpu.ops.pallas_block0 import pack_s2d_np
 
                 hw = images.shape[1:3]
-                lum4, chroma = pack_s2d_np(images)
+                packed = native.pack_s2d_batch(np.asarray(images))
+                lum4, chroma = (packed if packed is not None
+                                else pack_s2d_np(images))
             fn = self._program_for(hw)
             return fn(self.params, self.batch_stats, (lum4, chroma), true_hw)
         fn = self._program_for(images.shape[1:3])

@@ -1,19 +1,41 @@
 #!/bin/bash
 # Sequential TPU measurement queue — run when the tunnel is healthy.
 # Each step has its own timeout; results append to scripts/tpu_results.log.
+# The tunnel flaps: health-check BETWEEN steps and exit nonzero the moment
+# it dies so the watcher (tpu_watch.sh) resumes polling instead of burning
+# a full timeout per dead step. Completed steps are recorded in
+# /tmp/tpu_queue_done so a rerun skips them.
 cd "$(dirname "$0")/.."
 LOG=scripts/tpu_results.log
-run() {
-  echo "=== $(date +%H:%M:%S) $*" | tee -a $LOG
-  timeout 560 "$@" 2>&1 | grep -vE "WARNING|WARN |INFO " | tail -8 | tee -a $LOG
+DONE=/tmp/tpu_queue_done
+touch $DONE
+
+health() {
+  timeout 90 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))"
 }
-# health
-timeout 90 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))" \
-  || timeout 90 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))" \
-  || { echo "tunnel down"; exit 1; }
+
+run() {
+  key=$(echo "$*" | tr -c 'a-zA-Z0-9' _)
+  if grep -qx "$key" $DONE; then
+    echo "skip (done): $*"
+    return 0
+  fi
+  health || { echo "tunnel down before: $*"; exit 1; }
+  echo "=== $(date +%H:%M:%S) $*" | tee -a $LOG
+  out=$(timeout 560 "$@" 2>&1 | grep -vE "WARNING|WARN |INFO " | tail -8)
+  echo "$out" | tee -a $LOG
+  if echo "$out" | grep -q "backend unavailable\|backend health check"; then
+    echo "tunnel died during: $*"; exit 1
+  fi
+  if [ -z "$out" ]; then
+    echo "no output (timeout?): $*"; exit 1
+  fi
+  echo "$key" >> $DONE
+}
+
+health || { echo "tunnel down"; exit 1; }
 
 # headline candidate: split-layout s2d frontend (Pallas block0 + planar norm)
-run python bench.py 16 40 int8s+pallas+s2d
 run python bench.py 16 40 int8s+pallas+s2d
 run python scripts/profile_detect.py 16 60 s2dstages
 run python scripts/bench_block0.py normparts 16 40

@@ -126,3 +126,22 @@ def test_downscale_resampling_antialiases(tmp_path):
     region = canvas[:h, :w]
     assert abs(float(region.mean()) - 0.5) < 0.02
     assert float(region.std()) < 0.2
+
+
+def test_native_pack_s2d_matches_numpy():
+    """csrc frcnn_pack_s2d_batch == the numpy packer (layout contract of
+    ops/pallas_block0.py::pack_s2d)."""
+    import numpy as np
+    from frcnn_tpu.data import native
+    from frcnn_tpu.ops.pallas_block0 import pack_s2d_np
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, (3, 20, 28, 3)).astype(np.float32)
+    got = native.pack_s2d_batch(x)
+    want_l, want_c = pack_s2d_np(x)
+    np.testing.assert_array_equal(got[0], want_l)
+    np.testing.assert_array_equal(got[1], want_c)
