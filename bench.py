@@ -10,6 +10,7 @@ Baseline: BASELINE.json north star = 1000 images/sec/chip.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -31,11 +32,15 @@ def emit(metric: str, value: float, error: str = ""):
     print(json.dumps(rec))
 
 
-def backend_healthcheck(timeout_s: int = 120, attempts: int = 3):
+def backend_healthcheck(timeout_s: int = 120, attempts: int = None):
     """Probe the default jax backend in a SUBPROCESS (a hung remote-TPU
     init cannot be interrupted in-process) with bounded retries. Returns
     (ok, error_message)."""
     code = "import jax, jax.numpy as j; print(float(j.arange(8.0).sum()))"
+    if attempts is None:
+        # callers that just health-checked (the measurement queue) set
+        # this to 1 so a freshly-dead tunnel fails in 2 min, not 6
+        attempts = int(os.environ.get("FRCNN_BENCH_HEALTH_ATTEMPTS", "3"))
     err = ""
     for i in range(attempts):
         try:

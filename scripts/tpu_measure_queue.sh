@@ -9,6 +9,7 @@ cd "$(dirname "$0")/.."
 LOG=scripts/tpu_results.log
 DONE=/tmp/tpu_queue_done
 touch $DONE
+export FRCNN_BENCH_HEALTH_ATTEMPTS=1  # the queue just health-checked
 
 health() {
   timeout 90 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))"
