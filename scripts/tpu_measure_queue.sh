@@ -15,7 +15,8 @@ health() {
   timeout 90 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))"
 }
 
-run() {
+runt() {
+  t=$1; shift
   key=$(echo "$*" | tr -c 'a-zA-Z0-9' _)
   if grep -qx "$key" $DONE; then
     echo "skip (done): $*"
@@ -23,7 +24,7 @@ run() {
   fi
   health || { echo "tunnel down before: $*"; exit 1; }
   echo "=== $(date +%H:%M:%S) $*" | tee -a $LOG
-  out=$(timeout 560 "$@" 2>&1 | grep -vE "WARNING|WARN |INFO " | tail -8)
+  out=$(timeout "$t" "$@" 2>&1 | grep -vE "WARNING|WARN |INFO " | tail -8)
   echo "$out" | tee -a $LOG
   if echo "$out" | grep -q "backend unavailable\|backend health check"; then
     echo "tunnel died during: $*"; exit 1
@@ -34,6 +35,8 @@ run() {
   echo "$key" >> $DONE
 }
 
+run() { runt 560 "$@"; }
+
 health || { echo "tunnel down"; exit 1; }
 
 # headline candidate: split-layout s2d frontend (Pallas block0 + planar norm)
@@ -43,3 +46,6 @@ run python scripts/bench_block0.py normparts 16 40
 run python bench.py 32 40 int8s+pallas+s2d
 run python scripts/profile_train.py 8 12 loss grad step
 run python scripts/profile_detect.py 16 60 fwdparts mode=int8s
+# accuracy at the REAL duplo scale (vgg_small, 800x450) on hardware:
+# ~3 min of training at the measured 16 steps/s + eval/demo compiles
+runt 1500 python scripts/train_synthetic_eval.py --scale duplo --steps 2500 --images 200 --out /tmp/acc_duplo
