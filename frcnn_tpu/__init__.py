@@ -27,14 +27,15 @@ __version__ = "0.1.0"
 
 # Primary public API (lazy to keep `import frcnn_tpu` light).
 __all__ = [
-    "Config", "duplo_config", "imagenet_config",
+    "Config", "duplo_config", "imagenet_config", "serving_config",
     "Trainer", "Detector", "ShardedDetector", "BatchIterator",
     "AnchorGenerator",
 ]
 
 
 def __getattr__(name):
-    if name in ("Config", "duplo_config", "imagenet_config"):
+    if name in ("Config", "duplo_config", "imagenet_config",
+                "serving_config"):
         import frcnn_tpu.config as m
 
         return getattr(m, name)

@@ -327,4 +327,21 @@ def imagenet_config(**overrides) -> Config:
     return cfg.replace(**overrides) if overrides else cfg
 
 
+def serving_config(base: Config = None, **overrides) -> Config:
+    """The measured-fastest TPU serving configuration applied to ``base``
+    (default: :func:`duplo_config`): Pallas kernels on (NMS + ROI pool +
+    fused s2d block0), host-packed space-to-depth input layout. Pair with
+    ``Detector(..., quantized=True, quant_calibration=batch)`` for the
+    int8 static-scale backbone — the full stack measured 539 -> 887+
+    img/s/chip on v5e (scripts/tpu_results.log); accuracy parity of every
+    fast mode vs bf16: docs/accuracy/quant_parity_tiny2500.json.
+
+    Inference only — training ignores ``input_layout`` and must keep
+    ``pallas_mode`` off unless the kernels' VJPs are wanted.
+    """
+    cfg = base if base is not None else duplo_config()
+    cfg = cfg.replace(pallas_mode="on", input_layout="s2d")
+    return cfg.replace(**overrides) if overrides else cfg
+
+
 CONFIGS = {"duplo": duplo_config, "imagenet": imagenet_config}
