@@ -8,10 +8,15 @@ re-reads. Grid is one program per image; ROI rects arrive via scalar
 prefetch in SMEM.
 
 Semantics identical to ``adaptive_max_pool`` (Torch adaptive bin edges,
-overlapping bins for small regions). Differentiable via custom VJP whose
-backward recomputes through the XLA formulation (gradient = scatter into
-the argmax cells, as the reference does with saved pool indices,
-``objective.lua:182-185``).
+overlapping bins for small regions). Differentiable via custom VJP with a
+Pallas BACKWARD kernel: recompute the two masked max stages in VMEM and
+scatter the cotangent back through both, dividing evenly among tied
+maxima per stage — the same tie rule as jax's ``max`` VJP, so the
+gradient matches the XLA formulation's autodiff bit-for-tie-structure
+(the reference scatters with saved pool indices,
+``objective.lua:182-185``). This makes the kernel usable in TRAINING:
+the previous VJP fell back to re-running the XLA forward inside the
+backward, erasing the kernel's gain.
 """
 
 from __future__ import annotations
@@ -22,8 +27,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from frcnn_tpu.ops import roi_pool as xla_pool
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -134,21 +137,147 @@ def _forward(fm, rects, kh: int, kw: int, interpret: bool):
     )(rects_i, fmt)
 
 
+def _bwd_kernel(rects_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref, dcol_ref,
+                *, kh: int, kw: int, maxw: int, maxh: int, n_rois: int):
+    """Gradient of the pool: recompute the two masked max stages and
+    scatter ``g`` back, dividing evenly among tied maxima per stage —
+    exactly the VJP of ``jnp.max(jnp.where(mask, window, -inf))`` that the
+    XLA formulation's autodiff produces (the reference scatters with
+    saved pool indices, ``objective.lua:182-185``). Accumulates into the
+    same [1, W, H, C] output block across all roi-blocks of one image."""
+    W = fmt_ref.shape[1]
+    H = fmt_ref.shape[2]
+    C = fmt_ref.shape[3]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dfmt_ref[0, :, :, :] = jnp.zeros((W, H, C), dfmt_ref.dtype)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (maxw, 1, 1), 0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (maxh, 1, 1), 0)
+    neg = jnp.asarray(-jnp.inf, fmt_ref.dtype)
+    one = jnp.asarray(1, jnp.int32)
+
+    def roi_body(rr, _):
+        x0 = rects_ref[0, rr, 0]
+        y0 = rects_ref[0, rr, 1]
+        x1 = rects_ref[0, rr, 2]
+        y1 = rects_ref[0, rr, 3]
+        w = x1 - x0
+        h = y1 - y0
+
+        # stage 1 recompute: colmax[:, cb, :] = [H, C]; zero dcol
+        for cb in range(kw):
+            lo = x0 + (cb * w) // kw
+            hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
+            lo_c = jnp.clip(lo, 0, W - maxw)
+            shift = lo - lo_c
+            window = fmt_ref[0, pl.ds(lo_c, maxw), :, :]      # [maxw, H, C]
+            mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
+            colmax_ref[:, cb, :] = jnp.max(
+                jnp.where(mask, window, neg), axis=0
+            )
+        dcol_ref[:, :, :] = jnp.zeros((H, kw, C), dcol_ref.dtype)
+
+        # row stage backward: dcol[hrow, cb, :] += g[rb, cb, :] * eq/cnt
+        for rb in range(kh):
+            lo = y0 + (rb * h) // kh
+            hi = y0 + _ceil_div_t(((rb + 1) * h), kh)
+            lo_c = jnp.clip(lo, 0, H - maxh)
+            shift = lo - lo_c
+            window = colmax_ref[pl.ds(lo_c, maxh), :, :]       # [maxh, kw, C]
+            mask = (row_iota >= shift) & (row_iota < shift + (hi - lo))
+            rowmax = jnp.max(jnp.where(mask, window, neg), axis=0)
+            eq = mask & (window == rowmax[None])               # [maxh, kw, C]
+            cnt = jnp.maximum(jnp.sum(eq.astype(jnp.int32), axis=0), one)
+            contrib = (
+                eq.astype(dcol_ref.dtype)
+                * (g_ref[0, rr, rb].astype(dcol_ref.dtype)
+                   / cnt.astype(dcol_ref.dtype))[None]
+            )
+            dcol_ref[pl.ds(lo_c, maxh), :, :] = (
+                dcol_ref[pl.ds(lo_c, maxh), :, :] + contrib
+            )
+
+        # column stage backward: dfmt[col, hrow, :] += dcol * eq/cnt
+        for cb in range(kw):
+            lo = x0 + (cb * w) // kw
+            hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
+            lo_c = jnp.clip(lo, 0, W - maxw)
+            shift = lo - lo_c
+            window = fmt_ref[0, pl.ds(lo_c, maxw), :, :]      # [maxw, H, C]
+            mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
+            colm = colmax_ref[:, cb, :]                        # [H, C]
+            eq = mask & (window == colm[None])                 # [maxw, H, C]
+            cnt = jnp.maximum(jnp.sum(eq.astype(jnp.int32), axis=0), one)
+            contrib = (
+                eq.astype(dfmt_ref.dtype)
+                * (dcol_ref[:, cb, :].astype(dfmt_ref.dtype)
+                   / cnt.astype(dfmt_ref.dtype))[None]
+            )
+            dfmt_ref[0, pl.ds(lo_c, maxw), :, :] = (
+                dfmt_ref[0, pl.ds(lo_c, maxw), :, :] + contrib
+            )
+        return 0
+
+    jax.lax.fori_loop(0, n_rois, roi_body, 0)
+
+
+def _backward(fm, rects, g, kh: int, kw: int, interpret: bool):
+    B, H, W, C = fm.shape
+    D = rects.shape[1]
+    maxw = min(W, _cdiv(W, kw) + 1)
+    maxh = min(H, _cdiv(H, kh) + 1)
+    rects_i = rects.astype(jnp.int32)
+    fmt = jnp.transpose(fm, (0, 2, 1, 3))  # [B, W, H, C]
+
+    roi_block = D
+    for cand in (16, 8, 4, 2, 1):
+        if D % cand == 0:
+            roi_block = min(cand, D)
+            break
+    n_blocks = D // roi_block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, roi_block, 4), lambda b, rb: (b, rb, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, W, H, C), lambda b, rb: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, roi_block, kh, kw, C),
+                         lambda b, rb: (b, rb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # every roi-block of an image revisits the SAME output block, so
+        # the accumulation stays VMEM-resident across the inner grid axis
+        out_specs=pl.BlockSpec((1, W, H, C), lambda b, rb: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, kw, C), fm.dtype),
+            pltpu.VMEM((H, kw, C), fm.dtype),
+        ],
+    )
+    kernel = functools.partial(
+        _bwd_kernel, kh=kh, kw=kw, maxw=maxw, maxh=maxh, n_rois=roi_block
+    )
+    dfmt = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, W, H, C), fm.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rects_i, fmt, g.astype(fm.dtype))
+    return jnp.transpose(dfmt, (0, 2, 1, 3))
+
+
 def _fwd(fm, rects, kh, kw, interpret):
     return _forward(fm, rects, kh, kw, interpret), (fm, rects)
 
 
 def _bwd(kh, kw, interpret, res, g):
     fm, rects = res
-
-    def ref_pool(fm_):
-        return jax.vmap(lambda f, r: xla_pool.adaptive_max_pool(f, r, kh, kw))(
-            fm_, rects
-        )
-
-    _, vjp = jax.vjp(ref_pool, fm)
-    (dfm,) = vjp(g)
-    return dfm, jnp.zeros_like(rects)
+    return _backward(fm, rects, g, kh, kw, interpret), jnp.zeros_like(rects)
 
 
 pallas_adaptive_max_pool.defvjp(_fwd, _bwd)

@@ -216,12 +216,29 @@ def build_objective(cfg: Config, gen: AnchorGenerator,
 
         feat_rects = fm_loc.input_to_feature_rect_jax(roi_rects)
 
-        def pool_one(fm_i, fr_i, hw):
-            fw, fh = fm_loc.feature_map_size_jax(hw[1], hw[0])
-            pr = prepare_roi_rects(fr_i, fw, fh)
-            return adaptive_max_pool(fm_i, pr, kh, kw)
+        if cfg.pallas_mode in ("on", "interpret"):
+            # VMEM-resident Pallas pool; its custom VJP is a real Pallas
+            # backward kernel (ops/pallas_roi_pool.py), so training takes
+            # the fast path in BOTH passes
+            from frcnn_tpu.ops.pallas_roi_pool import pallas_adaptive_max_pool
 
-        pooled = jax.vmap(pool_one)(fm, feat_rects, batch.true_hw)
+            fw, fh = fm_loc.feature_map_size_jax(
+                batch.true_hw[:, 1], batch.true_hw[:, 0]
+            )
+            pr = prepare_roi_rects(
+                feat_rects, fw[:, None].astype(jnp.float32),
+                fh[:, None].astype(jnp.float32),
+            )
+            pooled = pallas_adaptive_max_pool(
+                fm, pr, kh, kw, cfg.pallas_mode == "interpret"
+            )
+        else:
+            def pool_one(fm_i, fr_i, hw):
+                fw, fh = fm_loc.feature_map_size_jax(hw[1], hw[0])
+                pr = prepare_roi_rects(fr_i, fw, fh)
+                return adaptive_max_pool(fm_i, pr, kh, kw)
+
+            pooled = jax.vmap(pool_one)(fm, feat_rects, batch.true_hw)
         pooled = pooled.reshape(Bsz, R, kh * kw * fm.shape[-1])
 
         # 6. cnet + detection losses -----------------------------------------

@@ -6,7 +6,8 @@ method as profile_detect.py). Reports steps/sec and images/sec.
 Usage: python scripts/profile_train.py [images_per_step] [loop_iters] [stage...]
 Stages (default: step): loss (objective fwd only), grad (value_and_grad,
 no update), step (grad + optimizer apply). loss vs grad isolates the
-backward pass; grad vs step isolates the rmsprop update.
+backward pass; grad vs step isolates the rmsprop update. Adding 'pallas'
+switches the objective's ROI pool to the Pallas fwd+bwd kernels.
 """
 
 import dataclasses
@@ -35,6 +36,9 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     stages = set(sys.argv[3:]) or {"step"}
+    use_pallas = "pallas" in stages     # Pallas ROI pool fwd+bwd kernels
+    stages -= {"pallas"}
+    stages = stages or {"step"}
 
     import dataclasses as _dc
 
@@ -43,6 +47,8 @@ def main():
     cfg = duplo_config()
     cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
     cfg = cfg.replace(shapes=dataclasses.replace(cfg.shapes, images_per_step=B))
+    if use_pallas:
+        cfg = cfg.replace(pallas_mode="on")
     gen = AnchorGenerator(cfg)
     pnet, cnet = create_models(cfg)
     params, stats = init_params(cfg, jax.random.PRNGKey(0))

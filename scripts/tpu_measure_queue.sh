@@ -45,6 +45,7 @@ run python scripts/profile_detect.py 16 60 s2dstages
 run python scripts/bench_block0.py normparts 16 40
 run python bench.py 32 40 int8s+pallas+s2d
 run python scripts/profile_train.py 8 12 loss grad step
+run python scripts/profile_train.py 8 12 step pallas
 run python scripts/profile_detect.py 16 60 fwdparts mode=int8s
 # accuracy at the REAL duplo scale (vgg_small, 800x450) on hardware:
 # ~3 min of training at the measured 16 steps/s + eval/demo compiles

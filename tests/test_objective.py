@@ -185,3 +185,26 @@ def test_jit_compiles(setup):
     t2, (_, m2) = jitted(params, stats, batch, jax.random.PRNGKey(6))
     assert np.isfinite(float(t1))
     np.testing.assert_allclose(float(t1), float(t2), rtol=1e-6)
+
+
+def test_pallas_pool_objective_parity(setup):
+    """Training objective with the Pallas ROI pool (forward + backward
+    kernels, interpret mode): loss and every gradient match the XLA pool
+    path."""
+    cfg, gen, pnet, cnet, params, stats, loss_fn = setup
+    batch = make_batch(cfg, np.random.default_rng(21))
+    loss_p = build_objective(
+        cfg.replace(pallas_mode="interpret"), gen, pnet, cnet
+    )
+    key = jax.random.PRNGKey(13)
+
+    t0, g0 = jax.value_and_grad(lambda p: loss_fn(p, stats, batch, key)[0])(
+        params
+    )
+    t1, g1 = jax.value_and_grad(lambda p: loss_p(p, stats, batch, key)[0])(
+        params
+    )
+    assert float(t0) == pytest.approx(float(t1), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

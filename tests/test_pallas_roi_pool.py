@@ -75,3 +75,38 @@ def test_pallas_pool_gradient():
     g1 = np.asarray(jax.grad(f_pallas)(jnp.asarray(fm)))
     g2 = np.asarray(jax.grad(f_xla)(jnp.asarray(fm)))
     np.testing.assert_allclose(g1, g2, rtol=1e-5)
+
+
+def test_pallas_pool_gradient_ties_and_overlap():
+    """Backward kernel vs XLA autodiff on the hard cases: quantized values
+    (deliberate in-window ties -> even split among tied maxima),
+    overlapping rois accumulating into the same cells, multiple images,
+    roi blocks > 1, and a degenerate 1x1 roi."""
+    rng = np.random.default_rng(9)
+    B, H, W, C = 2, 11, 15, 128
+    # values on a coarse grid force exact ties inside pooling windows
+    fm = (rng.integers(0, 4, size=(B, H, W, C)) * 0.5).astype(np.float32)
+    rects = np.asarray(
+        [
+            [[0, 0, 9, 8], [2, 1, 13, 9], [4, 4, 5, 5], [0, 0, 15, 11]],
+            [[1, 1, 14, 10], [1, 1, 14, 10], [7, 3, 12, 11], [0, 2, 3, 9]],
+        ],
+        np.float32,
+    )
+
+    def f_pallas(x):
+        return jnp.sum(
+            pallas_adaptive_max_pool(x, jnp.asarray(rects), 3, 3, True)
+            * jnp.arange(1.0, 5.0)[None, :, None, None, None]
+        )
+
+    def f_xla(x):
+        return jnp.sum(
+            jax.vmap(lambda f, r: adaptive_max_pool(f, r, 3, 3))(
+                x, jnp.asarray(rects)
+            ) * jnp.arange(1.0, 5.0)[None, :, None, None, None]
+        )
+
+    g1 = np.asarray(jax.grad(f_pallas)(jnp.asarray(fm)))
+    g2 = np.asarray(jax.grad(f_xla)(jnp.asarray(fm)))
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
