@@ -128,7 +128,11 @@ def cmd_train(args):
             t_report = time.perf_counter()
 
 
-def _make_detector(cfg, restore):
+def _make_detector(cfg, restore, serving: str = "reference"):
+    """``serving='fast'`` applies the measured-best stack (Pallas kernels
+    + host-packed s2d input + int8 backbone with dynamic scales); the
+    default is the plain bf16 reference path. Parity of the fast modes:
+    docs/accuracy/quant_parity_tiny2500.json."""
     _require_file(restore, "checkpoint")
     import jax
 
@@ -141,6 +145,15 @@ def _make_detector(cfg, restore):
         ckpt = load_checkpoint(restore)
         params = ckpt["params"]
         stats = ckpt["batch_stats"]
+    if serving == "fast":
+        from frcnn_tpu.config import serving_config
+
+        fast = serving_config(cfg)
+        if jax.default_backend() == "cpu":
+            # Mosaic kernels need hardware; interpret mode keeps the path
+            # usable (slowly) on the CPU backend
+            fast = fast.replace(pallas_mode="interpret")
+        return Detector(fast, params, stats, quantized=True)
     return Detector(cfg, params, stats)
 
 
@@ -156,7 +169,7 @@ def cmd_demo(args):
     _require_file(args.train, "training manifest")
     cfg = build_config(args)
     it = BatchIterator(cfg, args.train, seed=cfg.seed)
-    det = _make_detector(cfg, args.restore)
+    det = _make_detector(cfg, args.restore, serving=args.serving)
     os.makedirs(args.out, exist_ok=True)
 
     n = args.count
@@ -185,7 +198,7 @@ def cmd_evaluate(args):
 
     cfg = build_config(args)
     it = BatchIterator(cfg, args.train, seed=cfg.seed)
-    det = _make_detector(cfg, args.restore)
+    det = _make_detector(cfg, args.restore, serving=args.serving)
     result = evaluate_map(cfg, det, it, max_images=args.count)
     print(json.dumps(result, indent=2))
 
@@ -274,11 +287,17 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--out", default="demo_out")
     sp.add_argument("--count", type=int, default=50)
+    sp.add_argument("--serving", default="reference",
+                    choices=["reference", "fast"],
+                    help="fast = Pallas kernels + s2d layout + int8 backbone")
     sp.set_defaults(fn=cmd_demo)
 
     sp = sub.add_parser("evaluate", help="mAP on the validation split")
     common(sp)
     sp.add_argument("--count", type=int, default=200)
+    sp.add_argument("--serving", default="reference",
+                    choices=["reference", "fast"],
+                    help="fast = Pallas kernels + s2d layout + int8 backbone")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("import-duplo", help="CSV -> manifest")
