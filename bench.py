@@ -82,6 +82,10 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
 
     cfg = duplo_config()
     cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
+    if "large" in mode:
+        from frcnn_tpu.config import vgg_large_model
+
+        cfg = cfg.replace(model=vgg_large_model())
     if "pallas" in mode or "s2d" in mode:
         cfg = cfg.replace(pallas_mode="on")
     if "s2d" in mode:
@@ -183,7 +187,8 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
 def main():
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    # bf16 | int8 | int8s (static act scales) | pallas | s2d | combos like
+    # bf16 | int8 | int8s (static act scales) | pallas | s2d | large
+    # (vgg_large family; no s2d — its first block is 2 convs) | combos like
     # "int8s+pallas+s2d" | "best" (headline chain: fastest measured mode,
     # falling back through progressively plainer modes if a fancy path
     # fails on the current backend). Accuracy of every fast mode vs bf16:
@@ -196,7 +201,8 @@ def main():
     if not ok:
         m0 = chain[0]
         suffix = "" if m0 == "bf16" else f" [{m0}]"
-        emit(f"batched detect images/sec/chip @800x450 (vgg_small/duplo)"
+        model = "vgg_large" if "large" in m0 else "vgg_small"
+        emit(f"batched detect images/sec/chip @800x450 ({model}/duplo)"
              f"{suffix}", 0.0, error=f"backend unavailable: {err}")
         return
 
@@ -206,8 +212,9 @@ def main():
     metric = ""
     for m in chain:
         suffix = "" if m == "bf16" else f" [{m}]"
+        model = "vgg_large" if "large" in m else "vgg_small"
         metric = (f"batched detect images/sec/chip @800x450 "
-                  f"(vgg_small/duplo){suffix}")
+                  f"({model}/duplo){suffix}")
         for attempt in range(2):
             try:
                 emit(metric, run_bench(batch_size, iters, m))

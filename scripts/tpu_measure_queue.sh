@@ -48,6 +48,7 @@ run python scripts/profile_train.py 8 12 loss grad step
 run python scripts/profile_train.py 8 12 step pallas
 run python scripts/profile_detect.py 16 60 fwdparts mode=int8s
 run python scripts/profile_detect.py 16 60 decode select nms pool cnet mode=int8s+pallas
+run python bench.py 16 40 int8s+pallas+large
 # accuracy at the REAL duplo scale (vgg_small, 800x450) on hardware:
 # ~3 min of training at the measured 16 steps/s + eval/demo compiles
 runt 1500 python scripts/train_synthetic_eval.py --scale duplo --steps 2500 --images 200 --out /tmp/acc_duplo
