@@ -340,7 +340,18 @@ def serving_config(base: Config = None, **overrides) -> Config:
     ``pallas_mode`` off unless the kernels' VJPs are wanted.
     """
     cfg = base if base is not None else duplo_config()
-    cfg = cfg.replace(pallas_mode="on", input_layout="s2d")
+    spec0 = cfg.model.layers[0]
+    s2d_ok = (
+        (spec0.conv_steps, spec0.kH, spec0.kW, spec0.padH, spec0.padW)
+        == (1, 3, 3, 1, 1)
+        and cfg.shapes.image_hw[0] % 2 == 0
+        and cfg.shapes.image_hw[1] % 2 == 0
+    )
+    # the fused s2d frontend covers a single-3x3 first block (vgg_small);
+    # other models (vgg_large: 2 convs in block 0) get the Pallas
+    # NMS/pool kernels without the s2d input layout
+    cfg = cfg.replace(pallas_mode="on",
+                      input_layout="s2d" if s2d_ok else "nhwc")
     return cfg.replace(**overrides) if overrides else cfg
 
 

@@ -153,15 +153,18 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                     lambda l, ch, hw: normalize_s2d(l, ch, hw[0], hw[1],
                                                     **norm_kw)
                 )(lum4, chroma, true_hw)
+            from frcnn_tpu.models.factory import compute_dtype as _cdt
+
+            cdt = _cdt(cfg)
             p0 = params["pnet"]
             wt, bias = block0_weights_jnp(
                 p0["block0_conv0"]["kernel"], p0["block0_conv0"]["bias"]
             )
-            cviews, lviews = views_from_s2d(lum4, chroma)
+            cviews, lviews = views_from_s2d(lum4, chroma, out_dtype=cdt)
             b0 = fused_block0(
                 cviews, lviews, wt, bias,
                 p0["block0_prelu0"]["slope"].reshape(()),
-                interpret=interpret,
+                interpret=interpret, compute_dtype=cdt,
             ).transpose(0, 1, 3, 2)
             anchor_maps, fm = pnet.apply(
                 {"params": params["pnet"]}, None, train=False, block0_out=b0

@@ -215,25 +215,31 @@ def views_from_s2d(lum4, chroma, out_dtype=jnp.bfloat16):
     return cviews, lviews
 
 
-def fused_block0(cviews, lviews, wt, bias, slope, out_dtype=jnp.bfloat16,
+def fused_block0(cviews, lviews, wt, bias, slope, out_dtype=None,
                  tr: int = 8, interpret: bool = False,
-                 out_layout: str = "cmid"):
+                 out_layout: str = "cmid", compute_dtype=jnp.bfloat16):
     """Run the fused block0 kernel.
 
     Args:
-      cviews: four [B, Ho, 8, Wo] bf16 chroma views (``views_from_s2d``
-        or host-packed).
-      lviews: four [B, 4, Ho, Wo] bf16 luminance views.
+      cviews: four [B, Ho, 8, Wo] chroma views (``views_from_s2d`` or
+        host-packed).
+      lviews: four [B, 4, Ho, Wo] luminance views.
       wt, bias: from :func:`block0_weights` (device arrays ok).
       slope: scalar PReLU slope.
       out_layout: 'cmid' -> [B, Ho, F, Wo] (channels-middle); 'nhwc' ->
         [B, Ho, Wo, F] written transposed in-kernel (saves the XLA
         relayout pass the downstream NHWC conv would otherwise trigger).
-    Returns the block-0 output in the requested layout.
+      compute_dtype: input/scratch dtype of the matmul (the config's
+        compute dtype — fp32 configs must not silently degrade to bf16);
+        the accumulate + epilogue are always fp32.
+    Returns the block-0 output in the requested layout (``out_dtype``
+    defaults to ``compute_dtype``).
     """
     B, Ho, _, Wo = cviews[0].shape
     f4 = wt.shape[0]
     f = f4 // 4
+    if out_dtype is None:
+        out_dtype = compute_dtype
     nhwc_out = out_layout == "nhwc"
     grid = (B, (Ho + tr - 1) // tr)
     kern = functools.partial(_kernel, tr=tr, f=f, nhwc_out=nhwc_out)
@@ -252,12 +258,12 @@ def fused_block0(cviews, lviews, wt, bias, slope, out_dtype=jnp.bfloat16,
         ],
         out_specs=pl.BlockSpec(out_block, lambda b, t: (b, t, 0, 0)),
         scratch_shapes=[pltpu.VMEM((64, tr * (-(-Wo // 128) * 128)),
-                                   jnp.bfloat16)],
+                                   compute_dtype)],
         interpret=interpret,
     )(
-        *[v.astype(jnp.bfloat16) for v in cviews],
-        *[v.astype(jnp.bfloat16) for v in lviews],
-        jnp.asarray(wt, jnp.bfloat16),
+        *[v.astype(compute_dtype) for v in cviews],
+        *[v.astype(compute_dtype) for v in lviews],
+        jnp.asarray(wt, compute_dtype),
         jnp.asarray(bias, jnp.float32),
         jnp.asarray(slope, jnp.float32).reshape(1, 1),
     )

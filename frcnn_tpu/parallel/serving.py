@@ -86,21 +86,38 @@ class ShardedDetector:
         return self._programs[hw]
 
     def detect(self, images, true_hw):
-        """``images``: [B, H, W, 3] NHWC (with ``cfg.input_layout='s2d'``
-        the space-to-depth pack runs host-side before sharding — both
-        plane arrays are batch-major, so the data sharding broadcasts
-        over the pair)."""
+        """``images``: [B, H, W, 3] NHWC, or with ``cfg.input_layout='s2d'``
+        optionally an already-packed (lum4, chroma) pair. The
+        space-to-depth pack runs host-side (threaded C++ packer, numpy
+        fallback) before sharding — both plane arrays are batch-major, so
+        the data sharding broadcasts over the pair."""
         n = self.mesh.devices.size
-        assert images.shape[0] % n == 0, (
-            f"batch {images.shape[0]} must divide over {n} devices"
-        )
         dat = batch_sharding(self.mesh)
-        hw = images.shape[1:3]
         if getattr(self.cfg, "input_layout", "nhwc") == "s2d":
-            from frcnn_tpu.ops.pallas_block0 import pack_s2d_np
+            if isinstance(images, (tuple, list)):
+                lum4, chroma = images
+                hc, wc = chroma.shape[1], chroma.shape[3]
+                hw = ((hc - 1) * 2, (wc - 1) * 2)
+            else:
+                import numpy as np
 
-            images = pack_s2d_np(images)
-        images = jax.device_put(images, dat)
+                from frcnn_tpu.data import native
+                from frcnn_tpu.ops.pallas_block0 import pack_s2d_np
+
+                hw = images.shape[1:3]
+                packed = native.pack_s2d_batch(np.asarray(images))
+                lum4, chroma = (packed if packed is not None
+                                else pack_s2d_np(images))
+            assert lum4.shape[0] % n == 0, (
+                f"batch {lum4.shape[0]} must divide over {n} devices"
+            )
+            images = jax.device_put((lum4, chroma), dat)
+        else:
+            assert images.shape[0] % n == 0, (
+                f"batch {images.shape[0]} must divide over {n} devices"
+            )
+            hw = images.shape[1:3]
+            images = jax.device_put(images, dat)
         true_hw = jax.device_put(true_hw, dat)
         fn = self._program_for(hw)
         return fn(self.params, self.batch_stats, images, true_hw)

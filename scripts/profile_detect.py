@@ -134,8 +134,10 @@ def main():
         lum4, chroma = pack_s2d(images)
 
         def body_norm(c):
+            # perturb BOTH arrays: a loop-invariant chroma input would let
+            # XLA hoist the whole chroma half out of the timed loop
             ol, oc = jax.vmap(
-                lambda l, p, h: normalize_s2d(l + c, p, h[0], h[1])
+                lambda l, p, h: normalize_s2d(l + c, p + c, h[0], h[1])
             )(lum4, chroma, hw)
             return ((jnp.sum(ol[0, 0, :2, 0]) + jnp.sum(oc[0, 0, :2, 0]))
                     * 1e-20).astype(jnp.float32)
@@ -173,7 +175,7 @@ def main():
 
         def body_front(c):
             nl, nc = jax.vmap(
-                lambda l, p, h: normalize_s2d(l + c, p, h[0], h[1])
+                lambda l, p, h: normalize_s2d(l + c, p + c, h[0], h[1])
             )(lum4, chroma, hw)
             wt, bias = block0_weights_jnp(w0, b0p)
             cv, lv = views_from_s2d(nl, nc)

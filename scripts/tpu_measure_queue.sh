@@ -24,13 +24,21 @@ runt() {
   fi
   health || { echo "tunnel down before: $*"; exit 1; }
   echo "=== $(date +%H:%M:%S) $*" | tee -a $LOG
-  out=$(timeout "$t" "$@" 2>&1 | grep -vE "WARNING|WARN |INFO " | tail -8)
+  raw=$(timeout "$t" "$@" 2>&1)
+  rc=$?
+  out=$(echo "$raw" | grep -vE "WARNING|WARN |INFO " | tail -8)
   echo "$out" | tee -a $LOG
   if echo "$out" | grep -q "backend unavailable\|backend health check"; then
     echo "tunnel died during: $*"; exit 1
   fi
   if [ -z "$out" ]; then
     echo "no output (timeout?): $*"; exit 1
+  fi
+  # only a CLEAN step is marked done: a nonzero exit, a traceback, or a
+  # bench error-JSON must stay eligible for rerun after a fix
+  if [ "$rc" -ne 0 ] || echo "$raw" | grep -q 'Traceback\|"error":'; then
+    echo "step failed (rc=$rc), NOT marked done: $*" | tee -a $LOG
+    return 0
   fi
   echo "$key" >> $DONE
 }
