@@ -147,3 +147,22 @@ def test_s2d_detect_path_matches_nhwc():
     np.testing.assert_allclose(np.asarray(o_s2d.confidence)[v],
                                np.asarray(o_ref.confidence)[v],
                                rtol=0.05, atol=0.01)
+
+
+def test_block0_kernel_fp32_compute():
+    """compute_dtype=float32: the kernel must not silently degrade to
+    bf16 — fp32 path matches the fp32 reference to fp32-level tolerance."""
+    H, W = 12, 16
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 1, (1, H, W, 3)).astype(np.float32))
+    w = rng.normal(0, 0.2, (3, 3, 3, 64)).astype(np.float32)
+    b = rng.normal(0, 0.1, (64,)).astype(np.float32)
+    lum4, chroma = pack_s2d(x)
+    cviews, lviews = views_from_s2d(lum4, chroma, out_dtype=jnp.float32)
+    wt, bias = block0_weights(w, b)
+    got = fused_block0(cviews, lviews, wt, bias, 0.25, interpret=True,
+                       compute_dtype=jnp.float32).transpose(0, 1, 3, 2)
+    ref = reference_block0(x, w, b, 0.25)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
