@@ -108,7 +108,9 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                 spec0.padW) == (1, 3, 3, 1, 1), (
             "fused s2d block0 requires a single 3x3/1/1 first conv"
         )
-        assert s.image_hw[0] % 2 == 0 and s.image_hw[1] % 2 == 0
+        # the gen's bucket (not cfg.shapes.image_hw) is what this program
+        # compiles for — portrait buckets must be even-sized too
+        assert gen.image_hw[0] % 2 == 0 and gen.image_hw[1] % 2 == 0
 
     def batched_nms(boxes_b, scores_b, valid_b, thr, max_out):
         if use_pallas:
