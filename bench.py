@@ -19,27 +19,33 @@ BASELINE_IMAGES_PER_SEC = 1000.0
 
 
 def _last_recorded():
-    """Best successful bench record from scripts/tpu_results.log —
-    embedded (clearly labeled) in error artifacts so a dead tunnel at
-    capture time does not erase the round's measured numbers."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "scripts", "tpu_results.log")
+    """Best successful bench record from the measurement logs — embedded
+    (clearly labeled) in error artifacts so a dead tunnel at capture time
+    does not erase the round's measured numbers. Scans both the live
+    (gitignored) log and the committed docs/ snapshots, since a fresh
+    checkout only has the latter."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    import glob
+
+    paths = [os.path.join(root, "scripts", "tpu_results.log")]
+    paths += sorted(glob.glob(os.path.join(root, "docs", "tpu_results_*.log")))
     best = None
-    try:
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if not line.startswith("{"):
-                    continue
-                try:
-                    rec = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if rec.get("value", 0) > 0 and "error" not in rec and (
-                        best is None or rec["value"] > best["value"]):
-                    best = rec
-    except OSError:
-        return None
+    for path in paths:
+        try:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if rec.get("value", 0) > 0 and "error" not in rec and (
+                            best is None or rec["value"] > best["value"]):
+                        best = rec
+        except OSError:
+            continue
     return best
 
 
