@@ -1,10 +1,13 @@
 #!/bin/bash
 # Sequential TPU measurement queue — run when the tunnel is healthy.
 # Each step has its own timeout; results append to scripts/tpu_results.log.
-# The tunnel flaps: health-check BETWEEN steps and exit nonzero the moment
-# it dies so the watcher (tpu_watch.sh) resumes polling instead of burning
-# a full timeout per dead step. Completed steps are recorded in
-# /tmp/tpu_queue_done so a rerun skips them.
+# Health policy (learned the hard way): the backend often REFUSES a fresh
+# connection for ~1-3 min right after a process disconnects, so a health
+# check between every step reads "down" while the tunnel is actually fine.
+# Health-check only at queue start; after a step that *failed with a
+# backend error*, re-check once with a long timeout before deciding the
+# tunnel is gone. Completed steps are recorded in /tmp/tpu_queue_done so
+# a rerun skips them.
 cd "$(dirname "$0")/.."
 LOG=scripts/tpu_results.log
 DONE=/tmp/tpu_queue_done
@@ -12,7 +15,7 @@ touch $DONE
 export FRCNN_BENCH_HEALTH_ATTEMPTS=1  # the queue just health-checked
 
 health() {
-  timeout 90 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))"
+  timeout 150 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))"
 }
 
 runt() {
@@ -22,14 +25,17 @@ runt() {
     echo "skip (done): $*"
     return 0
   fi
-  health || { echo "tunnel down before: $*"; exit 1; }
   echo "=== $(date +%H:%M:%S) $*" | tee -a $LOG
   raw=$(timeout "$t" "$@" 2>&1)
   rc=$?
   out=$(echo "$raw" | grep -vE "WARNING|WARN |INFO " | tail -8)
   echo "$out" | tee -a $LOG
-  if echo "$out" | grep -q "backend unavailable\|backend health check"; then
-    echo "tunnel died during: $*"; exit 1
+  if echo "$out" | grep -q "backend unavailable\|backend health check\|Unable to initialize backend"; then
+    # backend error mid-step: give the tunnel one long-grace recheck
+    sleep 60
+    health || { echo "tunnel died during: $*"; exit 1; }
+    echo "tunnel recovered; step stays eligible: $*"
+    return 0
   fi
   if [ -z "$out" ]; then
     echo "no output (timeout?): $*"; exit 1
