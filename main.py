@@ -196,6 +196,7 @@ def cmd_evaluate(args):
     from frcnn_tpu.data.pipeline import BatchIterator
     from frcnn_tpu.detect.evaluation import evaluate_map
 
+    _require_file(args.train, "training manifest")
     cfg = build_config(args)
     it = BatchIterator(cfg, args.train, seed=cfg.seed)
     det = _make_detector(cfg, args.restore, serving=args.serving)
@@ -206,6 +207,7 @@ def cmd_evaluate(args):
 def cmd_import_duplo(args):
     from frcnn_tpu.data.importers import create_duplo_manifest
 
+    _require_file(args.csv, "CSV file")
     m = create_duplo_manifest(
         args.name or "duplo", args.csv, args.background, args.out,
         validation_size=args.val_size, seed=args.seed or 0,
@@ -222,6 +224,7 @@ def cmd_import_t7(args):
     """Convert a reference training-data .t7 file to a JSON manifest."""
     from frcnn_tpu.data.importers import create_manifest_from_t7
 
+    _require_file(args.t7, "t7 file")
     m = create_manifest_from_t7(args.t7, args.out)
     log.info(
         "Converted '%s': images: %d; classes: %d; train: %d; val: %d; "
@@ -235,6 +238,8 @@ def cmd_import_t7(args):
 def cmd_import_imagenet(args):
     from frcnn_tpu.data.importers import create_imagenet_manifest
 
+    if not os.path.isdir(args.base_dir):
+        raise SystemExit(f"ILSVRC base dir not found: {args.base_dir!r}")
     m = create_imagenet_manifest(
         args.name or "ILSVRC2015_DET", args.base_dir,
         "Annotations/DET/train", "Annotations/DET/val",
