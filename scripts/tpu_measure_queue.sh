@@ -12,7 +12,10 @@ cd "$(dirname "$0")/.."
 LOG=scripts/tpu_results.log
 DONE=/tmp/tpu_queue_done
 touch $DONE
-export FRCNN_BENCH_HEALTH_ATTEMPTS=1  # the queue just health-checked
+# the queue health-checks at start; bench must NOT open a second probe
+# connection right after (the backend refuses back-to-back fresh
+# connections for ~1-3 min) — skip bench's own check entirely
+export FRCNN_BENCH_HEALTH_ATTEMPTS=0
 
 health() {
   timeout 150 python -c "import jax, jax.numpy as j; print('tunnel ok', float(j.arange(8.).sum()))"
