@@ -146,8 +146,6 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
         pp["pnet"][f"anchor{ai}_out"]["bias"] = jnp.asarray(b)
     params = pp
 
-    detect = jax.jit(build_detect_fn(cfg, gen, pnet, cnet))
-
     H, W = cfg.shapes.image_hw
     rng = np.random.default_rng(0)
     images = jnp.asarray(

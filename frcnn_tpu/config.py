@@ -341,11 +341,14 @@ def serving_config(base: Config = None, **overrides) -> Config:
     """
     cfg = base if base is not None else duplo_config()
     spec0 = cfg.model.layers[0]
+    # EVERY compile bucket must be even-sized, not just the primary one:
+    # a portrait bucket's program is built lazily on the first portrait
+    # batch, and an odd bucket would only fail then, mid-serving
     s2d_ok = (
         (spec0.conv_steps, spec0.kH, spec0.kW, spec0.padH, spec0.padW)
         == (1, 3, 3, 1, 1)
-        and cfg.shapes.image_hw[0] % 2 == 0
-        and cfg.shapes.image_hw[1] % 2 == 0
+        and all(h % 2 == 0 and w % 2 == 0
+                for h, w in cfg.shapes.buckets())
     )
     # the fused s2d frontend covers a single-3x3 first block (vgg_small);
     # other models (vgg_large: 2 convs in block 0) get the Pallas

@@ -81,6 +81,24 @@ class TorchTensor:
 
         if not self.size:
             return np.zeros((0,))
+        if any(s <= 0 for s in self.size):
+            return np.zeros(tuple(max(s, 0) for s in self.size))
+        # validate file-supplied geometry BEFORE as_strided: sizes/strides
+        # from a corrupt file would otherwise read out of the backing
+        # buffer (silent garbage or a segfault, not an error)
+        lo = self.offset
+        hi = self.offset
+        for n, st in zip(self.size, self.stride):
+            if st >= 0:
+                hi += (n - 1) * st
+            else:
+                lo += (n - 1) * st
+        if lo < 0 or hi >= len(self.storage):
+            raise ValueError(
+                f"corrupt t7 tensor: size {self.size} / stride "
+                f"{self.stride} / offset {self.offset} spans [{lo}, {hi}] "
+                f"outside its storage of {len(self.storage)} elements"
+            )
         flat = np.asarray(self.storage)
         out = np.lib.stride_tricks.as_strided(
             flat[self.offset:],
@@ -126,7 +144,12 @@ class T7Reader:
 
     def _string(self) -> bytes:
         n = self._int()
-        return self.f.read(n)
+        if n < 0:
+            raise ValueError(f"corrupt t7 file: negative string length {n}")
+        buf = self.f.read(n)
+        if len(buf) != n:
+            raise EOFError("truncated t7 file")
+        return buf
 
     def read(self):
         t = self._int()
@@ -160,14 +183,27 @@ class T7Reader:
                 cls = self._string().decode()
             else:  # legacy layout: the "version" WAS the class name
                 cls = version.decode()
-            obj = self._read_torch(cls)
+            if cls in _TENSOR_DTYPES or cls in _STORAGE_DTYPES:
+                # no nested element of a tensor/storage record can refer
+                # back to this index; memoize after
+                obj = self._read_torch(cls)
+                self.memo[idx] = obj
+                return obj
+            # plain torch.class instance: register the shell BEFORE
+            # reading the state table (same order as TYPE_TABLE) so a
+            # self-referential field resolves instead of desyncing the
+            # stream
+            obj = TorchObject(cls, None)
             self.memo[idx] = obj
+            obj.state = self.read()
             return obj
         raise ValueError(f"unsupported t7 type code {t}")
 
     def _read_torch(self, cls: str):
         if cls in _TENSOR_DTYPES:
             ndim = self._int()
+            if not 0 <= ndim <= 64:
+                raise ValueError(f"corrupt t7 file: tensor ndim {ndim}")
             size = [self._long() for _ in range(ndim)]
             stride = [self._long() for _ in range(ndim)]
             offset = self._long() - 1
@@ -177,11 +213,13 @@ class T7Reader:
         if cls in _STORAGE_DTYPES:
             fmt, width = _STORAGE_DTYPES[cls]
             n = self._long()
+            if n < 0:
+                raise ValueError(f"corrupt t7 file: negative storage size {n}")
             buf = self.f.read(n * width)
+            if len(buf) != n * width:
+                raise EOFError("truncated t7 file")
             return list(struct.unpack(f"<{n}{fmt}", buf))
-        # any other torch.class: default serialization = its state table
-        state = self.read()
-        return TorchObject(cls, state)
+        raise AssertionError(f"_read_torch called for plain class {cls}")
 
 
 def load(path: str):

@@ -31,8 +31,9 @@ class ShardedDetector:
     """Mesh-parallel version of :class:`frcnn_tpu.detect.detector.Detector`.
 
     ``detect(images, true_hw)``: ``images`` [B, H, W, 3] with B divisible
-    by the mesh's device count; outputs are fully replicated
-    :class:`DetectionResult` arrays (small: [B, D, ...]).
+    by the mesh's device count; outputs are batch-sharded
+    :class:`DetectionResult` arrays ([B, D, ...] — ``np.asarray`` gathers
+    them when the host consumes results).
     """
 
     def __init__(self, cfg: Config, params, batch_stats, mesh,
@@ -68,13 +69,27 @@ class ShardedDetector:
         )
 
     def _jit(self, gen):
-        rep = replicated_sharding(self.mesh)
-        dat = batch_sharding(self.mesh)
-        return jax.jit(
-            build_detect_fn(self.cfg, gen, self.pnet, self.cnet),
-            in_shardings=(rep, rep, dat, dat),
-            out_shardings=rep,
+        from jax.sharding import PartitionSpec as P
+
+        from frcnn_tpu.parallel.mesh import DATA_AXIS
+
+        # shard_map, NOT bare jit-with-shardings: the detect program
+        # contains pallas_call custom calls (NMS / ROI pool / fused s2d
+        # block0) whose grids XLA's SPMD partitioner cannot split — under
+        # plain jit they would be traced at the GLOBAL batch size and
+        # either fail to partition or run gathered+replicated. shard_map
+        # traces the body at the per-device batch (B/n), so every Pallas
+        # grid is local; detection is embarrassingly batch-parallel so
+        # the body needs no collectives.
+        fn = build_detect_fn(self.cfg, gen, self.pnet, self.cnet)
+        dat, rep = P(DATA_AXIS), P()
+        mapped = jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(rep, rep, dat, dat),
+            out_specs=dat,
+            check_vma=False,
         )
+        return jax.jit(mapped)
 
     def _program_for(self, image_hw):
         hw = tuple(int(x) for x in image_hw)

@@ -84,7 +84,13 @@ def main():
             for r in rois[b]:
                 n_gt += 1
                 best, bc, bi = 0.0, C, -1
+                # one-to-one matching: a detection already claimed by a
+                # previous GT cannot match again (same rule as
+                # evaluation.py::compute_map) — double-counting inflated
+                # recall and deflated FPs
                 for di, (bx, c) in enumerate(dets):
+                    if di in matched:
+                        continue
                     v = _iou(bx, r["rect"])
                     if v > best:
                         best, bc, bi = v, c, di

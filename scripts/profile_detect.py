@@ -272,7 +272,9 @@ def main():
         def body_topk(c):
             masked = jnp.where(keep0, sc0 + c, -jnp.inf)
             ts, ti = jax.lax.top_k(masked, K)
-            return jnp.sum(ts[0, :2]) * 0.0
+            # * 1e-20, NOT * 0.0: a mul-by-zero fold would break the
+            # loop-carry dependence and let XLA hoist the top_k
+            return jnp.sum(ts[0, :2]) * 1e-20
 
         loop_time(body_topk, n, f"select:top_k(A={A})")
 

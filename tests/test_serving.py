@@ -80,3 +80,27 @@ def test_sharded_detect_s2d_layout(setup):
     v = np.asarray(ref.valid)
     np.testing.assert_allclose(np.asarray(got.boxes)[v],
                                np.asarray(ref.boxes)[v], rtol=0.02, atol=0.5)
+
+
+def test_serving_config_s2d_gating():
+    """s2d needs a single-3x3 first block AND even sizes for EVERY compile
+    bucket (a lazily-built odd portrait program would fail mid-serving)."""
+    import dataclasses as dc
+
+    from frcnn_tpu.config import (
+        duplo_config,
+        serving_config,
+        vgg_large_model,
+    )
+
+    assert serving_config().input_layout == "s2d"
+    assert serving_config().pallas_mode == "on"
+    # vgg_large: two convs in block 0 -> no fused s2d frontend
+    large = serving_config(duplo_config().replace(model=vgg_large_model()))
+    assert large.input_layout == "nhwc"
+    assert large.pallas_mode == "on"
+    # an odd-sized portrait bucket must disable s2d at config time
+    base = duplo_config()
+    base = base.replace(shapes=dc.replace(
+        base.shapes, image_hw=(450, 800), portrait_hw=(801, 450)))
+    assert serving_config(base).input_layout == "nhwc"

@@ -148,3 +148,55 @@ def test_reject_non_traindata(tmp_path):
     t7.save(str(p), t7.LuaTable({"foo": 1}))
     with pytest.raises(ValueError):
         create_manifest_from_t7(str(p))
+
+
+def test_truncated_file_raises_cleanly(tmp_path):
+    p = tmp_path / "full.t7"
+    t7.save(str(p), {"a": t7.TorchTensor(
+        "torch.FloatTensor", [2, 3], [3, 1], 0, [1.0] * 6)})
+    blob = p.read_bytes()
+    for cut in (4, len(blob) // 2, len(blob) - 3):
+        q = tmp_path / f"cut{cut}.t7"
+        q.write_bytes(blob[:cut])
+        with pytest.raises((EOFError, ValueError)):
+            t7.load(str(q))
+
+
+def test_out_of_bounds_tensor_geometry_raises(tmp_path):
+    # sizes/strides claim more elements than the storage holds: must be a
+    # clean error, not an out-of-bounds as_strided read
+    bad = t7.TorchTensor("torch.FloatTensor", [4, 4], [4, 1], 0, [1.0] * 6)
+    got = roundtrip(tmp_path, bad)
+    with pytest.raises(ValueError, match="corrupt t7 tensor"):
+        got.numpy()
+    # offset pushing the span past the end
+    bad2 = t7.TorchTensor("torch.FloatTensor", [2], [1], 5, [1.0] * 6)
+    got2 = roundtrip(tmp_path, bad2, "y.t7")
+    with pytest.raises(ValueError, match="corrupt t7 tensor"):
+        got2.numpy()
+
+
+def test_self_referential_object(tmp_path):
+    """A torch.class instance whose state refers back to itself (common
+    parent/owner back-pointers in Torch7 object graphs)."""
+    import struct
+
+    p = tmp_path / "selfref.t7"
+    with open(p, "wb") as f:
+        w = t7.T7Writer(f)
+        # TORCH record idx 1, class "Node", state table idx 2 containing
+        # {"me": <TORCH idx 1>}
+        w._w("i", t7.TYPE_TORCH)
+        w._w("i", 1)
+        w._string(b"V 1")
+        w._string(b"Node")
+        w._w("i", t7.TYPE_TABLE)
+        w._w("i", 2)
+        w._w("i", 1)  # one pair
+        w.write("me")
+        w._w("i", t7.TYPE_TORCH)
+        w._w("i", 1)  # back-reference to the object being read
+    got = t7.load(str(p))
+    assert isinstance(got, t7.TorchObject)
+    assert got.torch_class == "Node"
+    assert got.state["me"] is got
