@@ -19,6 +19,9 @@ touch $DONE $FAILS
 # connection right after (the backend refuses back-to-back fresh
 # connections for ~1-3 min) — skip bench's own check entirely
 export FRCNN_BENCH_HEALTH_ATTEMPTS=0
+# without -u python block-buffers stdout into the $(...) capture, so a
+# step killed by timeout loses EVERY stage it already measured
+export PYTHONUNBUFFERED=1
 ALLKEYS=()
 
 health() {
@@ -77,13 +80,15 @@ run python bench.py 16 40 int8s+pallas+s2d
 run python scripts/profile_detect.py 16 60 s2dstages
 run python scripts/bench_block0.py normparts 16 40
 # unmeasured-stage profiles FIRST (highest information value per tunnel
-# minute); the batch-32 bench has hung to timeout twice — run it late
-run python scripts/profile_train.py 8 12 loss grad step
-run python scripts/profile_train.py 8 12 step pallas
-run python scripts/profile_detect.py 16 60 fwdparts mode=int8s
-run python scripts/profile_detect.py 16 60 decode select nms pool cnet mode=int8s+pallas
+# minute); the batch-32 bench has hung to timeout twice — run it late.
+# Profile steps compile SEVERAL never-cached programs through the remote
+# compile service (minutes each) — give them 1200s, not 560s
+runt 1200 python scripts/profile_train.py 8 12 loss grad step
+runt 1200 python scripts/profile_train.py 8 12 step pallas
+runt 1200 python scripts/profile_detect.py 16 60 fwdparts mode=int8s
+runt 1200 python scripts/profile_detect.py 16 60 decode select nms pool cnet mode=int8s+pallas
 run python bench.py 16 40 int8s+pallas+large
-run python bench.py 32 40 int8s+pallas+s2d
+runt 1200 python bench.py 32 40 int8s+pallas+s2d
 # accuracy at the REAL duplo scale (vgg_small, 800x450) on hardware:
 # ~3 min of training at the measured 16 steps/s + eval/demo compiles
 runt 1500 python scripts/train_synthetic_eval.py --scale duplo --steps 2500 --images 200 --out /tmp/acc_duplo
