@@ -187,8 +187,15 @@ def _bwd_kernel(rects_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref, dcol_ref,
             shift = lo - lo_c
             window = colmax_ref[pl.ds(lo_c, maxh), :, :]       # [maxh, kw, C]
             mask = (row_iota >= shift) & (row_iota < shift + (hi - lo))
-            rowmax = jnp.max(jnp.where(mask, window, neg), axis=0)
-            eq = mask & (window == rowmax[None])               # [maxh, kw, C]
+            masked = jnp.where(mask, window, neg)
+            rowmax = jnp.max(masked, axis=0)
+            # eq from the masked VALUES, not `mask & (window == rowmax)`:
+            # and-ing a (maxh,1,1)-broadcast i1 with a full-shape i1 hits a
+            # Mosaic relayout bug ("replicated in destination but not in
+            # source" on vector<...xi1>); out-of-window lanes are -inf and
+            # can never equal rowmax (bins are nonempty), so this is the
+            # same predicate in one clean layout
+            eq = masked == rowmax[None]                        # [maxh, kw, C]
             cnt = jnp.maximum(jnp.sum(eq.astype(jnp.int32), axis=0), one)
             contrib = (
                 eq.astype(dcol_ref.dtype)
@@ -208,7 +215,8 @@ def _bwd_kernel(rects_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref, dcol_ref,
             window = fmt_ref[0, pl.ds(lo_c, maxw), :, :]      # [maxw, H, C]
             mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
             colm = colmax_ref[:, cb, :]                        # [H, C]
-            eq = mask & (window == colm[None])                 # [maxw, H, C]
+            # same Mosaic i1-relayout workaround as the row stage above
+            eq = jnp.where(mask, window, neg) == colm[None]    # [maxw, H, C]
             cnt = jnp.maximum(jnp.sum(eq.astype(jnp.int32), axis=0), one)
             contrib = (
                 eq.astype(dfmt_ref.dtype)
