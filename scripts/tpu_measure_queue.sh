@@ -87,7 +87,7 @@ runt 1200 python scripts/profile_train.py 8 12 loss grad step
 runt 1200 python scripts/profile_train.py 8 12 step pallas
 runt 1200 python scripts/profile_detect.py 16 60 fwdparts mode=int8s
 runt 1200 python scripts/profile_detect.py 16 60 decode select nms pool cnet mode=int8s+pallas
-run python bench.py 16 40 int8s+pallas+large
+runt 1200 python bench.py 16 40 int8s+pallas+large
 runt 1200 python bench.py 32 40 int8s+pallas+s2d
 # accuracy at the REAL duplo scale (vgg_small, 800x450) on hardware:
 # ~3 min of training at the measured 16 steps/s + eval/demo compiles
