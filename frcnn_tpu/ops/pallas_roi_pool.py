@@ -155,7 +155,14 @@ def _bwd_kernel(rects_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref, dcol_ref,
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (maxw, 1, 1), 0)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (maxh, 1, 1), 0)
-    neg = jnp.asarray(-jnp.inf, fmt_ref.dtype)
+    # ALL kernel arithmetic in f32 regardless of the fm dtype: Mosaic
+    # rejects bf16 cmpf in this kernel's layouts ('arith.cmpf ...
+    # vector<8x128x2xbf16>'), and bf16 divf/accumulate are similarly
+    # off its well-exercised path; a bf16->f32 upcast preserves equality
+    # structure exactly, so tie recovery is unchanged. Scratches and the
+    # dfmt output block are f32 (also exact accumulation across bins and
+    # roi-blocks); the caller casts back to the fm dtype once, outside.
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
     one = jnp.asarray(1, jnp.int32)
 
     def roi_body(rr, _):
@@ -172,7 +179,7 @@ def _bwd_kernel(rects_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref, dcol_ref,
             hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
             lo_c = jnp.clip(lo, 0, W - maxw)
             shift = lo - lo_c
-            window = fmt_ref[0, pl.ds(lo_c, maxw), :, :]      # [maxw, H, C]
+            window = fmt_ref[0, pl.ds(lo_c, maxw), :, :].astype(jnp.float32)
             mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
             colmax_ref[:, cb, :] = jnp.max(
                 jnp.where(mask, window, neg), axis=0
@@ -185,7 +192,7 @@ def _bwd_kernel(rects_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref, dcol_ref,
             hi = y0 + _ceil_div_t(((rb + 1) * h), kh)
             lo_c = jnp.clip(lo, 0, H - maxh)
             shift = lo - lo_c
-            window = colmax_ref[pl.ds(lo_c, maxh), :, :]       # [maxh, kw, C]
+            window = colmax_ref[pl.ds(lo_c, maxh), :, :]       # [maxh, kw, C] f32
             mask = (row_iota >= shift) & (row_iota < shift + (hi - lo))
             masked = jnp.where(mask, window, neg)
             rowmax = jnp.max(masked, axis=0)
@@ -198,9 +205,9 @@ def _bwd_kernel(rects_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref, dcol_ref,
             eq = masked == rowmax[None]                        # [maxh, kw, C]
             cnt = jnp.maximum(jnp.sum(eq.astype(jnp.int32), axis=0), one)
             contrib = (
-                eq.astype(dcol_ref.dtype)
-                * (g_ref[0, rr, rb].astype(dcol_ref.dtype)
-                   / cnt.astype(dcol_ref.dtype))[None]
+                eq.astype(jnp.float32)
+                * (g_ref[0, rr, rb].astype(jnp.float32)
+                   / cnt.astype(jnp.float32))[None]
             )
             dcol_ref[pl.ds(lo_c, maxh), :, :] = (
                 dcol_ref[pl.ds(lo_c, maxh), :, :] + contrib
@@ -212,16 +219,15 @@ def _bwd_kernel(rects_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref, dcol_ref,
             hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
             lo_c = jnp.clip(lo, 0, W - maxw)
             shift = lo - lo_c
-            window = fmt_ref[0, pl.ds(lo_c, maxw), :, :]      # [maxw, H, C]
+            window = fmt_ref[0, pl.ds(lo_c, maxw), :, :].astype(jnp.float32)
             mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
-            colm = colmax_ref[:, cb, :]                        # [H, C]
+            colm = colmax_ref[:, cb, :]                        # [H, C] f32
             # same Mosaic i1-relayout workaround as the row stage above
             eq = jnp.where(mask, window, neg) == colm[None]    # [maxw, H, C]
             cnt = jnp.maximum(jnp.sum(eq.astype(jnp.int32), axis=0), one)
             contrib = (
-                eq.astype(dfmt_ref.dtype)
-                * (dcol_ref[:, cb, :].astype(dfmt_ref.dtype)
-                   / cnt.astype(dfmt_ref.dtype))[None]
+                eq.astype(jnp.float32)
+                * (dcol_ref[:, cb, :] / cnt.astype(jnp.float32))[None]
             )
             dfmt_ref[0, pl.ds(lo_c, maxw), :, :] = (
                 dfmt_ref[0, pl.ds(lo_c, maxw), :, :] + contrib
@@ -263,8 +269,8 @@ def _backward(fm, rects, g, kh: int, kw: int, interpret: bool):
         out_specs=pl.BlockSpec((1, W, H, C), lambda b, rb: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((H, kw, C), fm.dtype),
-            pltpu.VMEM((H, kw, C), fm.dtype),
+            pltpu.VMEM((H, kw, C), jnp.float32),
+            pltpu.VMEM((H, kw, C), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -272,11 +278,11 @@ def _backward(fm, rects, g, kh: int, kw: int, interpret: bool):
     )
     dfmt = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, W, H, C), fm.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, W, H, C), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(rects_i, fmt, g.astype(fm.dtype))
-    return jnp.transpose(dfmt, (0, 2, 1, 3))
+    return jnp.transpose(dfmt, (0, 2, 1, 3)).astype(fm.dtype)
 
 
 def _fwd(fm, rects, kh, kw, interpret):

@@ -258,6 +258,21 @@ def build_objective(cfg: Config, gen: AnchorGenerator,
         # finiteness clamp, not a behavior change vs objective.lua:109.
         frozen = jnp.clip(jax.lax.stop_gradient(pos_pred[..., 2:6]), -20.0, 20.0)
         reg_proposal = B.decode(pos_a_boxes, frozen)
+        # Floor the encode base's size at 1px: an untrained head can emit
+        # wh deltas at the -20 clamp, and exp(-20)*anchor_w ~ 3e-8 px
+        # UNDERFLOWS TO EXACTLY 0 in the corner representation
+        # (x + 3e-8 == x in fp32), so encode() below divides by zero ->
+        # inf targets -> non-finite grads -> the guarded train step skips
+        # every subsequent update (observed deadlock at the duplo scale,
+        # 2026-08-17). The reference survives the same math because torch
+        # targets are plain data and SmoothL1's backward is clamped
+        # (objective.lua:109); a 1-px floor never binds on a meaningful
+        # proposal and keeps targets finite and smooth_l1-bounded.
+        reg_proposal = B.from_xywh(
+            reg_proposal[..., 0], reg_proposal[..., 1],
+            jnp.maximum(B.width(reg_proposal), 1.0),
+            jnp.maximum(B.height(reg_proposal), 1.0),
+        )
         dreg_target = B.encode(reg_proposal, pos_gt_boxes)
         dreg_sum = jnp.sum(
             jnp.sum(smooth_l1(creg[:, : s.max_positives, :], dreg_target), axis=-1)

@@ -104,15 +104,27 @@ class Trainer:
             )(params, batch_stats, batch, rng)
             updates, new_opt = self.tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            # failure containment: a non-finite objective (corrupt batch,
-            # numeric blowup) skips the update instead of poisoning the
-            # weights — the step is logged via metrics['skipped'].
-            ok = jnp.isfinite(total)
+            # failure containment: skip the update when it would POISON the
+            # weights — i.e. when any update element is non-finite. Guarding
+            # on the LOSS value instead deadlocks: smooth-L1 (linear tail,
+            # gradient clamped to +-1) and log-softmax can yield an inf
+            # objective with perfectly finite gradients, and skipping those
+            # steps freezes the very params that produce the inf (the
+            # reference has no guard at all and trains through inf losses,
+            # objective.lua:216). Logged via metrics['skipped'].
+            ok = jax.tree.reduce(
+                jnp.logical_and,
+                jax.tree.map(lambda u: jnp.all(jnp.isfinite(u)), updates),
+                jnp.asarray(True),
+            )
             new_params = jax.tree.map(
                 lambda n, o: jnp.where(ok, n, o), new_params, params
             )
             new_opt = jax.tree.map(
                 lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
+            )
+            new_bs = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_bs, batch_stats
             )
             metrics = dict(metrics)
             metrics["skipped"] = (~ok).astype(jnp.float32)

@@ -110,3 +110,48 @@ def test_pallas_pool_gradient_ties_and_overlap():
     g1 = np.asarray(jax.grad(f_pallas)(jnp.asarray(fm)))
     g2 = np.asarray(jax.grad(f_xla)(jnp.asarray(fm)))
     np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_pool_gradient_bf16():
+    """bf16 feature map (the train step's compute dtype). The backward
+    kernel recomputes/compares/accumulates in f32 internally (Mosaic
+    rejects bf16 cmpf in its layouts; f32 also avoids per-add rounding),
+    so its gradient does NOT bit-match XLA's bf16 autodiff — instead both
+    are compared against the exact f32 reference gradient on the same
+    (bf16-valued) data: the kernel must be at least as close."""
+    rng = np.random.default_rng(7)
+    B, H, W, C = 2, 12, 16, 128
+    fm = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.bfloat16)
+    rects = jnp.asarray(np.stack(
+        [random_rects(rng, 8, W, H) for _ in range(B)]))
+    g = jnp.asarray(rng.normal(size=(B, 8, 6, 6, C)), jnp.bfloat16)
+
+    def f_pallas(x):
+        return jnp.sum(
+            pallas_adaptive_max_pool(x, rects, 6, 6, True)
+            .astype(jnp.float32) * g.astype(jnp.float32))
+
+    def f_xla(x):
+        return jnp.sum(
+            jax.vmap(lambda f, r: adaptive_max_pool(f, r, 6, 6))(x, rects)
+            .astype(jnp.float32) * g.astype(jnp.float32))
+
+    gp = np.asarray(jax.grad(f_pallas)(fm), np.float32)
+    gx = np.asarray(jax.grad(f_xla)(fm), np.float32)
+    # exact reference: same bf16 VALUES, f32 arithmetic throughout
+    gt = np.asarray(
+        jax.grad(f_xla)(fm.astype(jnp.float32)), np.float32)
+    err_pallas = np.abs(gp - gt).max()
+    err_xla = np.abs(gx - gt).max()
+    # kernel gradient within bf16 output-rounding of the true gradient,
+    # and statistically no further from it than the bf16 XLA autodiff it
+    # replaces (20% max-norm slack: individual extremes are rounding noise)
+    assert err_pallas <= max(err_xla * 1.2, 0.02), (err_pallas, err_xla)
+    assert np.abs(gp - gt).mean() <= np.abs(gx - gt).mean() * 1.05
+    # structure: bf16 rounding can collide distinct values into ties that
+    # the f32 reference does not have, re-splitting gradient mass on a few
+    # elements — the kernel must not disagree with the reference more
+    # often than the bf16 XLA path it replaces does
+    dis_p = int((np.abs(gp - gt) > 0.02 + 0.03 * np.abs(gt)).sum())
+    dis_x = int((np.abs(gx - gt) > 0.02 + 0.03 * np.abs(gt)).sum())
+    assert dis_p <= max(dis_x, 8), (dis_p, dis_x)
