@@ -46,3 +46,15 @@ def shard_batch(mesh: Mesh, batch):
     """Place every array of a pytree with its leading axis sharded."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def chunk_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 1 (batch) of stacked [K, B, ...] chunk arrays; the
+    leading scan axis stays unsharded."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_chunk(mesh: Mesh, batches):
+    """Place a stacked [K, B, ...] pytree with its batch axis sharded."""
+    sh = chunk_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batches)

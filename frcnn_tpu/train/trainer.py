@@ -94,7 +94,9 @@ class Trainer:
         # step and anchor generator stay eagerly built.
         self._steps = {tuple(cfg.shapes.image_hw): self._build_step(self.gen)}
 
-    def _build_step(self, gen: AnchorGenerator):
+    def _step_body(self, gen: AnchorGenerator):
+        """The unjitted single-step update shared by the per-step and
+        chunked (scanned) programs."""
         cfg = self.cfg
         loss_fn = build_objective(cfg, gen, self.pnet, self.cnet)
 
@@ -130,16 +132,54 @@ class Trainer:
             metrics["skipped"] = (~ok).astype(jnp.float32)
             return new_params, new_bs, new_opt, metrics
 
+        return train_step
+
+    def _batch_shardings(self, sh):
+        return TrainBatch(image=sh, true_hw=sh, gt_boxes=sh, gt_classes=sh,
+                          gt_mask=sh, is_background=sh)
+
+    def _build_step(self, gen: AnchorGenerator):
+        train_step = self._step_body(gen)
         rep = replicated_sharding(self.mesh)
-        dat = batch_sharding(self.mesh)
-        batch_shardings = TrainBatch(
-            image=dat, true_hw=dat, gt_boxes=dat, gt_classes=dat,
-            gt_mask=dat, is_background=dat,
-        )
         return jax.jit(
             train_step,
-            in_shardings=(rep, rep, rep, batch_shardings, rep),
+            in_shardings=(rep, rep, rep,
+                          self._batch_shardings(batch_sharding(self.mesh)),
+                          rep),
             out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 1, 2),
+        )
+
+    def _build_chunk(self, gen: AnchorGenerator):
+        """K train steps as ONE compiled program (lax.scan over stacked
+        batches), with the per-step rng stream derived in-program exactly
+        as ``run_step`` derives it — so run_chunk(K batches) produces the
+        identical parameter trajectory to K run_step calls. One dispatch
+        and one metrics fetch per chunk instead of per step: on a remote
+        device (the axon tunnel) per-step round-trip latency dominates the
+        62 ms step, and chunking amortizes it K-fold."""
+        from frcnn_tpu.parallel.mesh import chunk_sharding
+
+        train_step = self._step_body(gen)
+
+        def chunk_step(params, batch_stats, opt_state, batches, step_rng):
+            def body(carry, batch):
+                p, bs, o, r = carry
+                r, k = jax.random.split(r)
+                p, bs, o, m = train_step(p, bs, o, batch, k)
+                return (p, bs, o, r), m
+            (p, bs, o, r), ms = jax.lax.scan(
+                body, (params, batch_stats, opt_state, step_rng), batches
+            )
+            return p, bs, o, r, ms
+
+        rep = replicated_sharding(self.mesh)
+        return jax.jit(
+            chunk_step,
+            in_shardings=(rep, rep, rep,
+                          self._batch_shardings(chunk_sharding(self.mesh)),
+                          rep),
+            out_shardings=(rep, rep, rep, rep, rep),
             donate_argnums=(0, 1, 2),
         )
 
@@ -168,6 +208,48 @@ class Trainer:
         self.stats.append(metrics)
         self.metrics_logger.log(self.step, metrics)
         return metrics
+
+    def run_chunk(self, batches) -> List[Dict[str, float]]:
+        """Run ``len(batches)`` train steps as one device program (see
+        ``_build_chunk``). All batches must share one compile bucket and a
+        common chunk length compiles once per (bucket, K). Returns the
+        per-step metrics dicts (also appended to stats/logger)."""
+        if len(batches) == 1:
+            return [self.run_step(batches[0])]
+        self.timer.start()
+        hw = tuple(int(x) for x in batches[0].image.shape[1:3])
+        assert all(tuple(int(x) for x in b.image.shape[1:3]) == hw
+                   for b in batches), "chunk batches must share one bucket"
+        key = (hw, len(batches))
+        if not hasattr(self, "_chunks"):
+            self._chunks = {}
+        if key not in self._chunks:
+            gen = (self.gen if hw == tuple(self.cfg.shapes.image_hw)
+                   else AnchorGenerator(self.cfg, image_hw=hw))
+            self._chunks[key] = self._build_chunk(gen)
+        stacked = TrainBatch(*[
+            np.stack([np.asarray(getattr(b, f)) for b in batches])
+            for f in TrainBatch._fields
+        ])
+        from frcnn_tpu.parallel.mesh import shard_chunk
+
+        stacked = shard_chunk(self.mesh, stacked)
+        (self.params, self.batch_stats, self.opt_state, self.step_rng,
+         ms) = self._chunks[key](
+            self.params, self.batch_stats, self.opt_state, stacked,
+            self.step_rng,
+        )
+        ms = jax.device_get(ms)   # ONE host round trip for the whole chunk
+        elapsed = self.timer.stop()
+        out = []
+        for i in range(len(batches)):
+            self.step += 1
+            m = {k2: float(v[i]) for k2, v in ms.items()}
+            m["step_time_s"] = elapsed / len(batches)
+            self.stats.append(m)
+            self.metrics_logger.log(self.step, m)
+            out.append(m)
+        return out
 
     # -- checkpointing --------------------------------------------------------
 

@@ -154,6 +154,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-count", type=int, default=24)
     ap.add_argument("--demo-count", type=int, default=4)
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="train steps per device program (run_chunk); on "
+                    "the remote TPU per-step dispatch latency dominates, "
+                    "chunking amortizes it")
+    ap.add_argument("--snapshot-every", type=int, default=160,
+                    help="steps between partial snapshots (resume support)")
     args = ap.parse_args()
 
     import jax
@@ -187,22 +193,37 @@ def main():
     cfg = cfg.replace(examples_base_path=data_dir, seed=args.seed)
 
     it = BatchIterator(cfg, manifest_path, seed=args.seed)
-    pre = PrefetchingIterator(it, depth=2)
+    pre = PrefetchingIterator(it, depth=max(2, args.chunk + 2))
     tr = Trainer(cfg, metrics_path=os.path.join(args.out, "metrics.jsonl"))
 
+    # resume from a partial snapshot if one exists (a tunnel flap mid-run
+    # then only loses progress since the last --snapshot-every boundary)
+    partial = os.path.join(args.out, "partial.ckpt")
+    if os.path.exists(partial):
+        tr.restore_snapshot(partial)
+        print(f"resumed from {partial} at step {tr.step}", flush=True)
+
     t0 = time.time()
-    losses = []
-    for step in range(1, args.steps + 1):
-        m = tr.run_step(pre.next_training_batch())
-        losses.append(m["loss"])
-        if step % 25 == 0 or step == 1:
+    last_snap = tr.step
+    while tr.step < args.steps:
+        k = min(args.chunk, args.steps - tr.step)
+        metrics = tr.run_chunk([pre.next_training_batch() for _ in range(k)])
+        m = metrics[-1]
+        if tr.step % 25 < k or tr.step == k:
             print(
-                f"{step}: loss {m['loss']:.4f} pcls {m['pcls']:.4f} "
+                f"{tr.step}: loss {m['loss']:.4f} pcls {m['pcls']:.4f} "
                 f"preg {m['preg']:.4f} dcls {m['dcls']:.4f} "
-                f"dreg {m['dreg']:.4f} ({time.time() - t0:.0f}s)",
+                f"dreg {m['dreg']:.4f} skip {m['skipped']:.0f} "
+                f"({time.time() - t0:.0f}s)",
                 flush=True,
             )
+        if tr.step - last_snap >= args.snapshot_every:
+            tr.save_snapshot(partial)
+            last_snap = tr.step
     pre.close()
+    # the reference's "loss" series is pcls + preg (objective.lua:216);
+    # rebuilt from stats so it survives a resume
+    losses = [p + r for p, r in zip(tr.stats.pcls, tr.stats.preg)]
     tr.save_snapshot(os.path.join(args.out, "final.ckpt"))
 
     # mAP on the validation split

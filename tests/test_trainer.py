@@ -116,3 +116,36 @@ def test_prefetching_iterator():
     got = [pf.next_training_batch() for _ in range(5)]
     assert got == [1, 2, 3, 4, 5]
     pf.close()
+
+
+def test_run_chunk_matches_run_step_trajectory():
+    """run_chunk(K batches) must produce the same parameter trajectory,
+    rng stream, and per-step metrics as K run_step calls (the chunk
+    program derives per-step keys in-program with the same split order).
+    sgd keeps the comparison meaningful: under rmsprop the first-step
+    update is ~lr*sign(g), which amplifies reassociation-level
+    compilation differences (scan body vs straight-line) into visibly
+    different trajectories."""
+    cfg = tiny_config().replace(optimizer="sgd")
+    rng = jax.random.PRNGKey(5)
+    batches = [make_batch(cfg, np.random.default_rng(100 + i)) for i in range(3)]
+
+    t1 = Trainer(cfg, mesh=make_mesh(n_devices=2), rng=rng)
+    ms_step = [t1.run_step(b) for b in batches]
+
+    t2 = Trainer(cfg, mesh=make_mesh(n_devices=2), rng=rng)
+    ms_chunk = t2.run_chunk(batches)
+
+    assert t2.step == t1.step == 3
+    np.testing.assert_array_equal(
+        np.asarray(t1.step_rng), np.asarray(t2.step_rng))
+    for x, y in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(ms_step, ms_chunk):
+        for key in ("loss", "pcls", "preg", "dcls", "dreg", "skipped"):
+            np.testing.assert_allclose(a[key], b[key], rtol=1e-3, atol=1e-4)
+    # singleton chunk falls back to run_step
+    t2.run_chunk([make_batch(cfg, np.random.default_rng(200))])
+    assert t2.step == 4
