@@ -37,7 +37,8 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     stages = set(sys.argv[3:]) or {"step"}
     use_pallas = "pallas" in stages     # Pallas ROI pool fwd+bwd kernels
-    stages -= {"pallas"}
+    use_remat = "remat" in stages       # rematerialize pnet in the backward
+    stages -= {"pallas", "remat"}
     stages = stages or {"step"}
 
     import dataclasses as _dc
@@ -49,6 +50,8 @@ def main():
     cfg = cfg.replace(shapes=dataclasses.replace(cfg.shapes, images_per_step=B))
     if use_pallas:
         cfg = cfg.replace(pallas_mode="on")
+    if use_remat:
+        cfg = cfg.replace(remat=True)
     gen = AnchorGenerator(cfg)
     pnet, cnet = create_models(cfg)
     params, stats = init_params(cfg, jax.random.PRNGKey(0))

@@ -85,13 +85,18 @@ run python scripts/bench_block0.py normparts 16 40
 # compile service (minutes each) — give them 1200s, not 560s
 runt 1200 python scripts/profile_train.py 8 12 loss grad step
 runt 1200 python scripts/profile_train.py 8 12 step pallas
+# train throughput scaling: batch 16 with the Pallas pool fwd+bwd kernels
+runt 1200 python scripts/profile_train.py 16 12 step pallas
 runt 1200 python scripts/profile_detect.py 16 60 fwdparts mode=int8s
 runt 1200 python scripts/profile_detect.py 16 60 decode select nms pool cnet mode=int8s+pallas
 runt 1200 python bench.py 16 40 int8s+pallas+large
 runt 1200 python bench.py 32 40 int8s+pallas+s2d
 # accuracy at the REAL duplo scale (vgg_small, 800x450) on hardware:
 # ~3 min of training at the measured 16 steps/s + eval/demo compiles
-runt 1500 python scripts/train_synthetic_eval.py --scale duplo --steps 2500 --images 200 --out /tmp/acc_duplo
+# chunked (16 steps/dispatch) + auto-resume from /tmp/acc_duplo2/partial.ckpt:
+# a tunnel flap mid-run only loses the last <=160 steps, and the queue
+# retries until the run completes
+runt 1500 python scripts/train_synthetic_eval.py --scale duplo --steps 2500 --images 200 --out /tmp/acc_duplo2 --chunk 16 --snapshot-every 160
 
 # exit 0 ONLY if every step is done or retired — otherwise the watcher
 # must keep watching (a mid-run tunnel flap previously lost steps forever)
