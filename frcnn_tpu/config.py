@@ -235,6 +235,17 @@ class Config:
     # limits on large buckets. Gradients are bit-identical.
     remat: bool = False
 
+    # Wire format of the pipeline->device image transfer. False: float32
+    # canvases already converted to ``color_space`` on the host. True:
+    # uint8 RGB canvases; the device does /255 and rgb->yuv at the
+    # objective/detector entry (ops/color.py::unwire_uint8) — 4x fewer
+    # host->device bytes (PCIe on real pods; the measured train-step wall
+    # on this box's remote-TPU tunnel was transfer-bound). rgb/yuv only
+    # (lab/hsv are nonlinear in 8-bit RGB); quantization happens AFTER
+    # the float resize, so the only divergence from the float path is
+    # one 1/255 rounding per pixel.
+    uint8_wire: bool = False
+
     # Pallas kernel usage in the detect path: 'off' (XLA formulations),
     # 'on' (Pallas ROI pool + NMS), 'interpret' (Pallas in interpreter
     # mode, for CPU testing of the kernel path).

@@ -223,7 +223,14 @@ class BatchIterator:
         native_ok = (
             cfg.augmentation.random_scaling == 0
             and cfg.color_space in ("rgb", "yuv", "", None)
+            # the C++ pipeline emits float canvases in the target color
+            # space; the uint8 wire format ships raw RGB bytes instead
+            and not cfg.uint8_wire
         )
+        if cfg.uint8_wire:
+            assert cfg.color_space in ("rgb", "yuv", "", None), (
+                "uint8_wire supports rgb/yuv color spaces only"
+            )
         self._pending: dict = {}         # bucket -> [(img, rois, isbg)]
         self._pending_native: dict = {}  # bucket -> [(canvas, hw, rois, isbg)]
         self._val_pending: List[dict] = []
@@ -315,7 +322,10 @@ class BatchIterator:
         """Decode + process with the reference's skip rules. Returns
         (img, rois) or None if the image must be skipped."""
         try:
-            img = load_image(fn, self.cfg.color_space, base_path)
+            # uint8 wire: stay in float RGB on the host (resize/flip are
+            # color-space-agnostic); the device converts after /255
+            space = "rgb" if self.cfg.uint8_wire else self.cfg.color_space
+            img = load_image(fn, space, base_path)
         except Exception as e:  # corrupt file — pcall guard analog
             log.warning("Invalid image '%s': %s", fn, e)
             return None
@@ -342,8 +352,15 @@ class BatchIterator:
         H, W = bucket if bucket is not None else s.image_hw
         G = s.max_gt
         h, w = img.shape[:2]
-        canvas = np.zeros((H, W, 3), np.float32)
-        canvas[:h, :w] = img[:H, :W]
+        if self.cfg.uint8_wire:
+            # quantize AFTER the float resize — one 1/255 rounding total
+            canvas = np.zeros((H, W, 3), np.uint8)
+            canvas[:h, :w] = np.clip(
+                np.round(img[:H, :W] * 255.0), 0, 255
+            ).astype(np.uint8)
+        else:
+            canvas = np.zeros((H, W, 3), np.float32)
+            canvas[:h, :w] = img[:H, :W]
         gt_boxes = np.zeros((G, 4), np.float32)
         gt_cls = np.zeros((G,), np.int32)
         gt_mask = np.zeros((G,), bool)
@@ -673,7 +690,8 @@ class BatchIterator:
             self._val_pending.extend(items)
         if not self._val_pending:
             H, W = s.image_hw
-            return (np.zeros((0, H, W, 3), np.float32),
+            dt = np.uint8 if self.cfg.uint8_wire else np.float32
+            return (np.zeros((0, H, W, 3), dt),
                     np.zeros((0, 2), np.int32), [])
         bucket = s.bucket_for(*self._val_pending[0]["image"].shape[:2])
         take, rest = [], []

@@ -31,6 +31,20 @@ def yuv2rgb(img: np.ndarray) -> np.ndarray:
     return img @ _YUV2RGB.T
 
 
+def unwire_uint8(img, color_space: str):
+    """Device-side inverse of the uint8 wire format (``Config.uint8_wire``):
+    uint8 RGB -> float [0,1] -> configured color space. Pure matmul/scale,
+    so it works on numpy AND jax arrays (runs inside the jitted
+    objective/detector entry; XLA fuses it into the normalize stage)."""
+    x = img.astype(np.float32) / np.float32(255.0)
+    if color_space == "yuv":
+        x = x @ _RGB2YUV.T.astype(np.float32)
+    elif color_space not in ("rgb", "", None):
+        raise ValueError(
+            f"uint8 wire format supports rgb/yuv, not {color_space!r}")
+    return x
+
+
 def rgb2hsv(img: np.ndarray) -> np.ndarray:
     """Standard HSV with H in [0, 1] (torch convention)."""
     r, g, b = img[..., 0], img[..., 1], img[..., 2]

@@ -146,6 +146,14 @@ def build_objective(cfg: Config, gen: AnchorGenerator,
         Bsz = batch.image.shape[0]
         rng_label, rng_pdrop, rng_cdrop = jax.random.split(rng, 3)
 
+        # 0. uint8 wire format: /255 + host color space on device
+        # (Config.uint8_wire; XLA fuses this into the normalize stage)
+        image = batch.image
+        if image.dtype == jnp.uint8:
+            from frcnn_tpu.ops.color import unwire_uint8
+
+            image = unwire_uint8(image, cfg.color_space)
+
         # 1. masked on-device normalization (vmapped per image)
         norm = jax.vmap(
             lambda img, hw: normalize_image(
@@ -155,7 +163,7 @@ def build_objective(cfg: Config, gen: AnchorGenerator,
                 centering=cfg.normalization.centering,
                 scaling=cfg.normalization.scaling,
             )
-        )(batch.image, batch.true_hw)
+        )(image, batch.true_hw)
 
         # 2. pnet forward (optionally rematerialized in the backward pass —
         # the backbone activations dominate train-step HBM at large buckets)

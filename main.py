@@ -101,25 +101,43 @@ def cmd_train(args):
         source = PrefetchingIterator(it, depth=args.prefetch)
 
     steps = args.steps or cfg.total_steps
+    chunk = max(1, getattr(args, "chunk", 1))
     t_report = time.perf_counter()
+    pending = None  # bucket-switch carry (dual-bucket configs)
     while trainer.step < steps:
-        batch = source.next_training_batch()
-        metrics = trainer.run_step(batch)
-        i = trainer.step
-        log.info(
-            "%d: loss: %f  prop: cls %.4f reg %.4f; det: cls %.4f reg %.4f "
-            "(examples: %d)",
-            i, metrics["loss"], metrics["pcls"], metrics["preg"],
-            metrics["dcls"], metrics["dreg"], int(metrics["cls_count"]),
-        )
-        if metrics.get("skipped"):
-            log.warning("step %d: non-finite objective — update skipped", i)
-        if cfg.plot_interval and i % cfg.plot_interval == 0:
-            plot_training_progress(args.name, trainer.stats)
-        if cfg.snapshot_interval and i % cfg.snapshot_interval == 0:
-            path = f"{args.name}_{i:06d}.ckpt"
+        k = min(chunk, steps - trainer.step)
+        batches = [pending] if pending is not None else []
+        pending = None
+        while len(batches) < k:
+            b = source.next_training_batch()
+            # all batches of one device dispatch share a compile bucket;
+            # a bucket switch (portrait image) flushes the current chunk
+            if batches and b.image.shape[1:3] != batches[0].image.shape[1:3]:
+                pending = b
+                break
+            batches.append(b)
+        chunk_metrics = trainer.run_chunk(batches)
+        base = trainer.step - len(chunk_metrics)
+        for j, metrics in enumerate(chunk_metrics):
+            i = base + j + 1
+            log.info(
+                "%d: loss: %f  prop: cls %.4f reg %.4f; det: cls %.4f reg %.4f "
+                "(examples: %d)",
+                i, metrics["loss"], metrics["pcls"], metrics["preg"],
+                metrics["dcls"], metrics["dreg"], int(metrics["cls_count"]),
+            )
+            if metrics.get("skipped"):
+                log.warning("step %d: non-finite update — skipped", i)
+            if cfg.plot_interval and i % cfg.plot_interval == 0:
+                plot_training_progress(args.name, trainer.stats)
+        # snapshots happen at chunk boundaries (mid-chunk parameter states
+        # never exist on the host) and are named with the true step
+        if cfg.snapshot_interval and (
+            trainer.step // cfg.snapshot_interval > base // cfg.snapshot_interval
+        ):
+            path = f"{args.name}_{trainer.step:06d}.ckpt"
             options = {
-                k: v for k, v in vars(args).items()
+                k2: v for k2, v in vars(args).items()
                 if isinstance(v, (str, int, float, bool, type(None)))
             }
             trainer.save_snapshot(path, options=options)
@@ -181,7 +199,9 @@ def cmd_demo(args):
         out = det.detect(imgs, hws)
         h, w = int(hws[0][0]), int(hws[0][1])
         img = np.asarray(imgs[0][:h, :w]).copy()
-        if cfg.color_space == "yuv":
+        if img.dtype == np.uint8:      # uint8 wire: already RGB
+            img = img.astype(np.float32) / 255.0
+        elif cfg.color_space == "yuv":
             img = yuv2rgb(img)
         valid = np.asarray(out.valid[0])
         boxes = np.asarray(out.proposal_boxes[0])
@@ -286,6 +306,10 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--steps", type=int, default=None,
                     help="override total steps (default 50000)")
+    sp.add_argument("--chunk", type=int, default=1,
+                    help="train steps per device dispatch (amortizes "
+                    "per-step round-trip latency on remote devices; "
+                    "identical trajectory to --chunk 1)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("demo", help="draw detections on validation images")

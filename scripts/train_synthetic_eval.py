@@ -131,9 +131,12 @@ def duplo_scale_cfg(n_classes: int):
     from frcnn_tpu.config import duplo_config
 
     cfg = duplo_config(class_count=n_classes, learning_rate=1e-4)
-    # scenes are generated at exactly 800x450
+    # scenes are generated at exactly 800x450; uint8 wire cuts the
+    # host->device image bytes 4x (the remote-TPU tunnel is
+    # transfer-bound at this scale) and is bit-exact here (no resize)
     return cfg.replace(
-        shapes=dataclasses.replace(cfg.shapes, image_hw=(450, 800))
+        shapes=dataclasses.replace(cfg.shapes, image_hw=(450, 800)),
+        uint8_wire=True,
     )
 
 
@@ -248,7 +251,9 @@ def main():
         out = det.detect(imgs, hws)
         h, w = int(hws[0][0]), int(hws[0][1])
         img = np.asarray(imgs[0][:h, :w]).copy()
-        if cfg.color_space == "yuv":
+        if img.dtype == np.uint8:      # uint8 wire: already RGB
+            img = img.astype(np.float32) / 255.0
+        elif cfg.color_space == "yuv":
             img = yuv2rgb(img)
         for roi in rois[0]:
             draw_rectangle(img, roi["rect"], (0.45, 0.45, 0.45))

@@ -61,6 +61,25 @@ def test_import_and_train_and_demo(workdir, monkeypatch):
     assert os.path.exists(tmp / "demo" / "output2.jpg")
 
 
+def test_train_chunked_loop(workdir, monkeypatch):
+    """--chunk > 1: K steps per device dispatch. Snapshots land at chunk
+    boundaries named with the true step; one metrics record per step.
+    (Trajectory equivalence vs chunk=1 is covered at the trainer level,
+    tests/test_trainer.py::test_run_chunk_matches_run_step_trajectory.)"""
+    tmp, cfg_path = workdir
+    monkeypatch.chdir(tmp)
+    cli.main([
+        "train", "--cfg", cfg_path, "--train", str(tmp / "manifest.json"),
+        "--name", "cli_chunk", "--steps", "5", "--chunk", "2",
+    ])
+    # interval=2, chunks end at steps 2,4,5 -> snapshots at 2, 4
+    assert os.path.exists(tmp / "cli_chunk_000002.ckpt")
+    assert os.path.exists(tmp / "cli_chunk_000004.ckpt")
+    with open(tmp / "cli_chunk_metrics.jsonl") as f:
+        recs = [json.loads(l) for l in f]
+    assert [r["step"] for r in recs] == [1, 2, 3, 4, 5]
+
+
 def test_evaluate_runs(workdir, monkeypatch, capsys):
     tmp, cfg_path = workdir
     monkeypatch.chdir(tmp)
