@@ -5,12 +5,14 @@ method as profile_detect.py). Reports steps/sec and images/sec.
 
 Usage: python scripts/profile_train.py [images_per_step] [loop_iters] [stage...]
 Stages (default: step): loss (objective fwd only), grad (value_and_grad,
-no update), step (grad + optimizer apply). loss vs grad isolates the
+no update), step (grad + optimizer apply), objparts (cumulative forward
+breakdown: norm / +pnet / labeling / +pool). loss vs grad isolates the
 backward pass; grad vs step isolates the rmsprop update. Adding 'pallas'
 switches the objective's ROI pool to the Pallas fwd+bwd kernels.
 """
 
 import dataclasses
+import os
 import sys
 import time
 
@@ -20,6 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# smoke-test knobs (the sitecustomize force-registers the remote TPU
+# backend; env vars alone are ignored — must set config after import):
+#   FRCNN_TPU_PLATFORM=cpu      run on CPU
+#   FRCNN_PROFILE_HW=128x160    shrink the compile bucket
+if os.environ.get("FRCNN_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FRCNN_TPU_PLATFORM"])
 jax.config.update("jax_compilation_cache_dir", "/tmp/frcnn_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -45,8 +53,12 @@ def main():
 
     # profile at the north-star 800x450 bucket (duplo default is the
     # full 450x1000 wide-image envelope)
+    hw = (450, 800)
+    if os.environ.get("FRCNN_PROFILE_HW"):
+        h, w = os.environ["FRCNN_PROFILE_HW"].split("x")
+        hw = (int(h), int(w))
     cfg = duplo_config()
-    cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
+    cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=hw))
     cfg = cfg.replace(shapes=dataclasses.replace(cfg.shapes, images_per_step=B))
     if use_pallas:
         cfg = cfg.replace(pallas_mode="on")
@@ -64,11 +76,14 @@ def main():
     rng = np.random.default_rng(0)
     gt = np.zeros((B, G, 4), np.float32)
     gt_m = np.zeros((B, G), bool)
+    box_hi = min(130, H // 2, W // 2)   # stays valid at smoke-test buckets
+    box_lo = min(40, box_hi - 1)
     for b in range(B):
         for g in range(4):
-            x0 = rng.uniform(5, W - 140)
-            y0 = rng.uniform(5, H - 140)
-            gt[b, g] = [x0, y0, x0 + rng.uniform(40, 130), y0 + rng.uniform(40, 130)]
+            x0 = rng.uniform(5, W - box_hi - 10)
+            y0 = rng.uniform(5, H - box_hi - 10)
+            gt[b, g] = [x0, y0, x0 + rng.uniform(box_lo, box_hi),
+                        y0 + rng.uniform(box_lo, box_hi)]
             gt_m[b, g] = True
     batch = TrainBatch(
         image=jnp.asarray(rng.normal(0.3, 0.2, (B, H, W, 3)).astype(np.float32)),
@@ -116,6 +131,110 @@ def main():
         per = (timed(big) - timed(small)) / (big - small)
         print(f"{label} ({B} img): {per*1e3:.1f} ms -> {1/per:.2f}/s, "
               f"{B/per:.1f} img/s")
+
+    if "objparts" in stages:
+        # cumulative forward breakdown of the objective: where the
+        # non-conv time goes. Each body folds its scalar back into the
+        # params so the fori_loop iterations stay data-dependent
+        # (LICM-safe under XLA).
+        from frcnn_tpu.ops.normalization import normalize_image
+        from frcnn_tpu.train.objective import (
+            _flatten_batched,
+            label_one_image,
+        )
+
+        nc = cfg.normalization
+
+        def norm_of(image, true_hw):
+            return jax.vmap(
+                lambda img, hw: normalize_image(
+                    img, hw[0], hw[1], method=nc.method, width=nc.width,
+                    centering=nc.centering, scaling=nc.scaling,
+                )
+            )(image, true_hw)
+
+        def labels_of(rng, batch):
+            label_rngs = jax.random.split(rng, B)
+            return jax.vmap(
+                lambda r, hw, gb, gm, bg: label_one_image(
+                    cfg, gen, r, hw, gb, gm, bg)
+            )(label_rngs, batch.true_hw, batch.gt_boxes, batch.gt_mask,
+              batch.is_background)
+
+        def fold(p, x):
+            return jax.tree_util.tree_map(lambda a: a + x * 1e-30, p)
+
+        def eps_of(p):
+            # carry-dependent epsilon: stages whose compute does not
+            # consume the params (norm, labeling) must still depend on
+            # the loop carry, or XLA hoists them out of the fori_loop
+            # (LICM) and they time at ~0
+            return jax.tree_util.tree_leaves(p)[0].ravel()[0] * 1e-30
+
+        def norm_only(p, s, o, batch, rng):
+            img = batch.image + eps_of(p)
+            x = jnp.sum(norm_of(img, batch.true_hw)[:, ::64, ::64])
+            return fold(p, x), s, o, x * 1e-20
+
+        def upto_pnet(p, s, o, batch, rng):
+            norm = norm_of(batch.image + eps_of(p), batch.true_hw)
+            maps, fm = pnet.apply(
+                {"params": p["pnet"]}, norm, train=True,
+                rngs={"dropout": rng},
+            )
+            x = (jnp.sum(fm[:, ::16, ::16].astype(jnp.float32))
+                 + sum(jnp.sum(m[..., 0].astype(jnp.float32)) for m in maps))
+            return fold(p, x), s, o, x * 1e-20
+
+        def label_only(p, s, o, batch, rng):
+            labels = labels_of(rng, batch._replace(
+                gt_boxes=batch.gt_boxes + eps_of(p)))
+            x = (jnp.sum(labels.pos_anchor) + jnp.sum(labels.neg_anchor)
+                 ).astype(jnp.float32)
+            return fold(p, x), s, o, x * 1e-20
+
+        def upto_pool(p, s, o, batch, rng):
+            from frcnn_tpu.ops.roi_pool import (
+                adaptive_max_pool, prepare_roi_rects)
+
+            norm = norm_of(batch.image + eps_of(p), batch.true_hw)
+            maps, fm = pnet.apply(
+                {"params": p["pnet"]}, norm, train=True,
+                rngs={"dropout": rng},
+            )
+            labels = labels_of(rng, batch._replace(
+                gt_boxes=batch.gt_boxes + eps_of(p)))
+            pos_gt_boxes = jnp.take_along_axis(
+                batch.gt_boxes, labels.pos_gt[:, :, None], axis=1)
+            neg_a_boxes = jnp.asarray(gen.boxes)[labels.neg_anchor]
+            roi_rects = jnp.concatenate([pos_gt_boxes, neg_a_boxes], axis=1)
+            fm_loc = gen.fm_localizer
+            feat_rects = fm_loc.input_to_feature_rect_jax(roi_rects)
+            kh, kw = cfg.roi_pooling.kh, cfg.roi_pooling.kw
+            if use_pallas:
+                from frcnn_tpu.ops.pallas_roi_pool import (
+                    pallas_adaptive_max_pool)
+
+                fw, fh = fm_loc.feature_map_size_jax(
+                    batch.true_hw[:, 1], batch.true_hw[:, 0])
+                pr = prepare_roi_rects(
+                    feat_rects, fw[:, None].astype(jnp.float32),
+                    fh[:, None].astype(jnp.float32))
+                pooled = pallas_adaptive_max_pool(fm, pr, kh, kw, False)
+            else:
+                def pool_one(fm_i, fr_i, hw):
+                    fw, fh = fm_loc.feature_map_size_jax(hw[1], hw[0])
+                    pr = prepare_roi_rects(fr_i, fw, fh)
+                    return adaptive_max_pool(fm_i, pr, kh, kw)
+
+                pooled = jax.vmap(pool_one)(fm, feat_rects, batch.true_hw)
+            x = jnp.sum(pooled[..., 0].astype(jnp.float32))
+            return fold(p, x), s, o, x * 1e-20
+
+        measure("norm", norm_only)
+        measure("norm+pnet", upto_pnet)
+        measure("label", label_only)
+        measure("norm+pnet+label+pool", upto_pool)
 
     if "loss" in stages:
         # forward objective only: fold the loss back into the params so
