@@ -223,9 +223,6 @@ class BatchIterator:
         native_ok = (
             cfg.augmentation.random_scaling == 0
             and cfg.color_space in ("rgb", "yuv", "", None)
-            # the C++ pipeline emits float canvases in the target color
-            # space; the uint8 wire format ships raw RGB bytes instead
-            and not cfg.uint8_wire
         )
         if cfg.uint8_wire:
             assert cfg.color_space in ("rgb", "yuv", "", None), (
@@ -422,10 +419,13 @@ class BatchIterator:
             for i, p in enumerate(paths):
                 groups.setdefault(self._peek_bucket(p), []).append(i)
             for bucket, idxs in groups.items():
+                # uint8 wire: decode stays in float RGB (the device does
+                # the color conversion after /255); quantized at assembly
+                space = "rgb" if cfg.uint8_wire else cfg.color_space
                 out = self._native.load_process_batch(
                     [paths[i] for i in idxs], bucket,
                     cfg.target_smaller_side, cfg.max_pixel_size,
-                    cfg.color_space, flips=flips[idxs],
+                    space, flips=flips[idxs],
                 )
                 canvases, out_hw, status = out
                 for gi, i in enumerate(idxs):
@@ -633,14 +633,21 @@ class BatchIterator:
         B = len(slots)
         H, W = bucket
         G = self.cfg.shapes.max_gt
-        imgs = np.zeros((B, H, W, 3), np.float32)
+        wire8 = self.cfg.uint8_wire
+        imgs = np.zeros((B, H, W, 3), np.uint8 if wire8 else np.float32)
         hws = np.zeros((B, 2), np.int32)
         gt_boxes = np.zeros((B, G, 4), np.float32)
         gt_cls = np.zeros((B, G), np.int32)
         gt_mask = np.zeros((B, G), bool)
         isbg = np.zeros((B,), bool)
         for b, (canvas, hw, rois, bg) in enumerate(slots):
-            imgs[b] = canvas
+            if wire8:
+                # quantize AFTER the float resize (one 1/255 rounding
+                # total — same rule as the Python path)
+                np.clip(np.round(canvas * 255.0), 0, 255, out=canvas)
+                imgs[b] = canvas.astype(np.uint8)
+            else:
+                imgs[b] = canvas
             hws[b] = hw
             isbg[b] = bg
             if len(rois) > G:

@@ -38,6 +38,7 @@ from frcnn_tpu.geometry import boxes as B
 from frcnn_tpu.geometry.anchors import AnchorGenerator
 from frcnn_tpu.models.cnet import ClassificationNet
 from frcnn_tpu.models.pnet import ProposalNet
+from frcnn_tpu.ops.color import unwire_uint8
 from frcnn_tpu.ops.nms import nms
 from frcnn_tpu.ops.normalization import normalize_image
 from frcnn_tpu.ops.roi_pool import adaptive_max_pool, prepare_roi_rects
@@ -172,12 +173,9 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                 {"params": params["pnet"]}, None, train=False, block0_out=b0
             )
         else:
-            if images.dtype == jnp.uint8:
-                # uint8 wire format (Config.uint8_wire): /255 + host
-                # color space on device
-                from frcnn_tpu.ops.color import unwire_uint8
-
-                images = unwire_uint8(images, cfg.color_space)
+            # uint8 wire format (Config.uint8_wire): /255 + host color
+            # space on device; no-op for float32 inputs
+            images = unwire_uint8(images, cfg.color_space)
             if normalize_inputs:
                 images = jax.vmap(
                     lambda img, hw: normalize_image(img, hw[0], hw[1],
@@ -345,14 +343,11 @@ class Detector:
                 from frcnn_tpu.ops.pallas_block0 import pack_s2d_np
 
                 hw = images.shape[1:3]
-                images = np.asarray(images)
-                if images.dtype == np.uint8:
-                    # uint8 wire (Config.uint8_wire): the s2d pack wants
-                    # float canvases in the target color space — unwire
-                    # host-side (the pack itself is the device transfer)
-                    from frcnn_tpu.ops.color import unwire_uint8
-
-                    images = unwire_uint8(images, self.cfg.color_space)
+                # uint8 wire (Config.uint8_wire): the s2d pack wants
+                # float canvases in the target color space — unwire
+                # host-side (the pack itself is the device transfer)
+                images = unwire_uint8(np.asarray(images),
+                                      self.cfg.color_space)
                 packed = native.pack_s2d_batch(images)
                 lum4, chroma = (packed if packed is not None
                                 else pack_s2d_np(images))

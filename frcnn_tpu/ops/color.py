@@ -35,7 +35,11 @@ def unwire_uint8(img, color_space: str):
     """Device-side inverse of the uint8 wire format (``Config.uint8_wire``):
     uint8 RGB -> float [0,1] -> configured color space. Pure matmul/scale,
     so it works on numpy AND jax arrays (runs inside the jitted
-    objective/detector entry; XLA fuses it into the normalize stage)."""
+    objective/detector entry; XLA fuses it into the normalize stage).
+    No-op on float inputs, so call sites handle both wire formats with
+    one unconditional call."""
+    if img.dtype != np.uint8:
+        return img
     x = img.astype(np.float32) / np.float32(255.0)
     if color_space == "yuv":
         x = x @ _RGB2YUV.T.astype(np.float32)

@@ -120,13 +120,12 @@ class ShardedDetector:
                 from frcnn_tpu.ops.pallas_block0 import pack_s2d_np
 
                 hw = images.shape[1:3]
-                images = np.asarray(images)
-                if images.dtype == np.uint8:
-                    # uint8 wire (Config.uint8_wire): unwire host-side —
-                    # the s2d pack wants float target-color-space canvases
-                    from frcnn_tpu.ops.color import unwire_uint8
+                # uint8 wire (Config.uint8_wire): unwire host-side —
+                # the s2d pack wants float target-color-space canvases
+                from frcnn_tpu.ops.color import unwire_uint8
 
-                    images = unwire_uint8(images, self.cfg.color_space)
+                images = unwire_uint8(np.asarray(images),
+                                      self.cfg.color_space)
                 packed = native.pack_s2d_batch(images)
                 lum4, chroma = (packed if packed is not None
                                 else pack_s2d_np(images))

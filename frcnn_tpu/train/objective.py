@@ -45,6 +45,7 @@ from frcnn_tpu.geometry import matching as M
 from frcnn_tpu.geometry.anchors import AnchorGenerator
 from frcnn_tpu.models.cnet import ClassificationNet
 from frcnn_tpu.models.pnet import ProposalNet
+from frcnn_tpu.ops.color import unwire_uint8
 from frcnn_tpu.ops.normalization import normalize_image
 from frcnn_tpu.ops.roi_pool import adaptive_max_pool, prepare_roi_rects
 from frcnn_tpu.train.losses import cross_entropy_fg_bg, nll_loss, smooth_l1
@@ -147,12 +148,9 @@ def build_objective(cfg: Config, gen: AnchorGenerator,
         rng_label, rng_pdrop, rng_cdrop = jax.random.split(rng, 3)
 
         # 0. uint8 wire format: /255 + host color space on device
-        # (Config.uint8_wire; XLA fuses this into the normalize stage)
-        image = batch.image
-        if image.dtype == jnp.uint8:
-            from frcnn_tpu.ops.color import unwire_uint8
-
-            image = unwire_uint8(image, cfg.color_space)
+        # (Config.uint8_wire; XLA fuses this into the normalize stage;
+        # no-op for float32 batches)
+        image = unwire_uint8(batch.image, cfg.color_space)
 
         # 1. masked on-device normalization (vmapped per image)
         norm = jax.vmap(

@@ -116,7 +116,15 @@ def cmd_train(args):
                 pending = b
                 break
             batches.append(b)
-        chunk_metrics = trainer.run_chunk(batches)
+        # full chunks run as one device program; partial chunks (bucket
+        # switch, ragged tail) degrade to per-step dispatch — run_chunk
+        # compiles one program per (bucket, length) and each new XLA
+        # program costs minutes on a remote compile service, so only the
+        # (bucket, chunk) and per-step (bucket,) programs may exist
+        if chunk > 1 and len(batches) == chunk:
+            chunk_metrics = trainer.run_chunk(batches)
+        else:
+            chunk_metrics = [trainer.run_step(b) for b in batches]
         base = trainer.step - len(chunk_metrics)
         for j, metrics in enumerate(chunk_metrics):
             i = base + j + 1

@@ -61,7 +61,10 @@ def main():
     cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=hw))
     cfg = cfg.replace(shapes=dataclasses.replace(cfg.shapes, images_per_step=B))
     if use_pallas:
-        cfg = cfg.replace(pallas_mode="on")
+        # CPU smoke tests run the kernels in interpreter mode
+        cfg = cfg.replace(pallas_mode=(
+            "interpret" if os.environ.get("FRCNN_TPU_PLATFORM") == "cpu"
+            else "on"))
     if use_remat:
         cfg = cfg.replace(remat=True)
     gen = AnchorGenerator(cfg)
@@ -138,10 +141,7 @@ def main():
         # params so the fori_loop iterations stay data-dependent
         # (LICM-safe under XLA).
         from frcnn_tpu.ops.normalization import normalize_image
-        from frcnn_tpu.train.objective import (
-            _flatten_batched,
-            label_one_image,
-        )
+        from frcnn_tpu.train.objective import label_one_image
 
         nc = cfg.normalization
 
@@ -220,7 +220,8 @@ def main():
                 pr = prepare_roi_rects(
                     feat_rects, fw[:, None].astype(jnp.float32),
                     fh[:, None].astype(jnp.float32))
-                pooled = pallas_adaptive_max_pool(fm, pr, kh, kw, False)
+                pooled = pallas_adaptive_max_pool(
+                    fm, pr, kh, kw, cfg.pallas_mode == "interpret")
             else:
                 def pool_one(fm_i, fr_i, hw):
                     fw, fh = fm_loc.feature_map_size_jax(hw[1], hw[0])

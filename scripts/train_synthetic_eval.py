@@ -210,7 +210,15 @@ def main():
     last_snap = tr.step
     while tr.step < args.steps:
         k = min(args.chunk, args.steps - tr.step)
-        metrics = tr.run_chunk([pre.next_training_batch() for _ in range(k)])
+        if k == args.chunk and k > 1:
+            metrics = tr.run_chunk(
+                [pre.next_training_batch() for _ in range(k)])
+        else:
+            # ragged tail: per-step dispatch — run_chunk would compile a
+            # fresh (bucket, k) program (minutes on the remote service)
+            # for the last few steps of the run
+            metrics = [tr.run_step(pre.next_training_batch())
+                       for _ in range(k)]
         m = metrics[-1]
         if tr.step % 25 < k or tr.step == k:
             print(

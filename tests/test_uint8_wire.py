@@ -38,7 +38,7 @@ def wire_setup(tmp_path_factory):
 def test_pipeline_wire_matches_float_path(wire_setup):
     cfg, manifest = wire_setup
     cfg_w = cfg.replace(uint8_wire=True)
-    it_w = BatchIterator(cfg_w, manifest, seed=3)
+    it_w = BatchIterator(cfg_w, manifest, seed=3, use_native=False)
     it_f = BatchIterator(cfg, manifest, seed=3, use_native=False)
     bw = it_w.next_training_batch()
     bf = it_f.next_training_batch()
@@ -52,6 +52,31 @@ def test_pipeline_wire_matches_float_path(wire_setup):
     # linear matmul with row sums ~1)
     un = unwire_uint8(np.asarray(bw.image), cfg.color_space)
     np.testing.assert_allclose(un, bf.image, atol=2.5 / 255)
+
+
+def test_native_pipeline_wire(wire_setup):
+    """The C++ fast path stays enabled under uint8_wire: it decodes in
+    float RGB and the canvases are quantized at assembly — same one-
+    rounding rule as the Python path (resamplers are Pillow-parity, so
+    compare with a small tolerance)."""
+    from frcnn_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native host pipeline not built")
+    cfg, manifest = wire_setup
+    cfg_w = cfg.replace(uint8_wire=True)
+    it_n = BatchIterator(cfg_w, manifest, seed=3)
+    assert it_n.use_native, "uint8_wire must not disable the native path"
+    it_p = BatchIterator(cfg_w, manifest, seed=3, use_native=False)
+    bn = it_n.next_training_batch()
+    bp = it_p.next_training_batch()
+    assert bn.image.dtype == np.uint8
+    np.testing.assert_array_equal(bn.true_hw, bp.true_hw)
+    np.testing.assert_array_equal(bn.gt_boxes, bp.gt_boxes)
+    # uint8 levels from two Pillow-parity resamplers: allow +-2 levels
+    # on a tiny fraction of pixels
+    diff = np.abs(bn.image.astype(np.int16) - bp.image.astype(np.int16))
+    assert np.quantile(diff, 0.999) <= 2 and diff.max() <= 8
 
 
 def test_objective_wire_parity(wire_setup):
