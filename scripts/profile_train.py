@@ -110,7 +110,13 @@ def main():
             def body(i, carry):
                 p, s, o, acc = carry
                 rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
-                p, s, o, total = body_step(p, s, o, batch, rng)
+                # fresh-ish data each iteration: with loop-invariant
+                # gt_boxes XLA hoists the rng-independent labeling work
+                # (IoU matrix + matching scans) out of the loop and the
+                # profile under-counts what real training (new batch
+                # every step) pays
+                b = batch._replace(gt_boxes=batch.gt_boxes + acc * 1e-30)
+                p, s, o, total = body_step(p, s, o, b, rng)
                 return p, s, o, acc + total * 1e-20
             p, s, o, acc = jax.lax.fori_loop(
                 0, k, body, (params, stats, opt_state, jnp.float32(0.0))
@@ -236,6 +242,97 @@ def main():
         measure("norm+pnet", upto_pnet)
         measure("label", label_only)
         measure("norm+pnet+label+pool", upto_pool)
+
+    if "labelparts" in stages:
+        # sub-breakdown of the labeling stage (objparts showed labeling
+        # dominates the train forward): IoU matrix / positive matching /
+        # negative sampling / nearby-aversion, each vmapped over the
+        # batch like the objective does
+        from frcnn_tpu.geometry import boxes as GB
+        from frcnn_tpu.geometry import matching as GM
+
+        anchors = jnp.asarray(gen.boxes)
+        range_id = jnp.asarray(gen.tap * 3 + gen.aspect)
+        bin_x = jnp.asarray(gen.bin_x)
+        bin_y = jnp.asarray(gen.bin_y)
+        s = cfg.shapes
+
+        def eps_of(p):
+            return jax.tree_util.tree_leaves(p)[0].ravel()[0] * 1e-30
+
+        def fold(p, x):
+            return jax.tree_util.tree_map(lambda a: a + x * 1e-30, p)
+
+        def masks_of(hw):
+            return (gen.fm_valid_mask(hw[0], hw[1]),
+                    gen.inside_image_mask(hw[0], hw[1]))
+
+        def iou_only(p, s_, o, batch, rng):
+            gb = batch.gt_boxes + eps_of(p)
+            x = jnp.sum(jax.vmap(
+                lambda g: GB.iou_matrix(g, anchors))(gb)[:, :, ::64])
+            return fold(p, x), s_, o, x * 1e-20
+
+        def pos_only(p, s_, o, batch, rng):
+            gb = batch.gt_boxes + eps_of(p)
+
+            def one(g, gm, hw):
+                fm, inside = masks_of(hw)
+                pos = GM.match_positives(
+                    anchors, fm & inside, g, gm,
+                    cfg.positive_threshold, cfg.negative_threshold,
+                    cfg.best_match)
+                sel = GM.select_positive_pairs(pos, s.max_positives)
+                return jnp.sum(sel.anchor_idx)
+
+            x = jnp.sum(jax.vmap(one)(
+                gb, batch.gt_mask, batch.true_hw)).astype(jnp.float32)
+            return fold(p, x), s_, o, x * 1e-20
+
+        def neg_only(p, s_, o, batch, rng):
+            gb = batch.gt_boxes + eps_of(p)
+
+            def one(r, g, gm, hw, bg):
+                fm, inside = masks_of(hw)
+                req = jnp.where(bg, int(0.05 * cfg.batch_size), 16)
+                thr = jnp.where(bg, 0.0, cfg.negative_threshold)
+                idx, val = GM.sample_negatives(
+                    r, anchors, fm & inside, range_id,
+                    3 * len(cfg.scales), g, gm, thr,
+                    s.max_negatives, req)
+                return jnp.sum(idx)
+
+            rngs = jax.random.split(rng, B)
+            x = jnp.sum(jax.vmap(one)(
+                rngs, gb, batch.gt_mask, batch.true_hw,
+                batch.is_background)).astype(jnp.float32)
+            return fold(p, x), s_, o, x * 1e-20
+
+        def near_only(p, s_, o, batch, rng):
+            gb = batch.gt_boxes + eps_of(p)
+
+            def one(r, g, gm, hw):
+                fm, inside = masks_of(hw)
+                pos = GM.match_positives(
+                    anchors, fm & inside, g, gm,
+                    cfg.positive_threshold, cfg.negative_threshold,
+                    cfg.best_match)
+                sel = GM.select_positive_pairs(pos, s.max_positives)
+                idx, val = GM.nearby_negatives(
+                    r, anchors, bin_x, bin_y, fm,
+                    sel.anchor_idx, sel.valid,
+                    cfg.negative_threshold, s.max_nearby, sel.count)
+                return jnp.sum(idx)
+
+            rngs = jax.random.split(rng, B)
+            x = jnp.sum(jax.vmap(one)(
+                rngs, gb, batch.gt_mask, batch.true_hw)).astype(jnp.float32)
+            return fold(p, x), s_, o, x * 1e-20
+
+        measure("iou[GxA]", iou_only)
+        measure("pos(match+select)", pos_only)
+        measure("neg(sample)", neg_only)
+        measure("near(pos+nearby)", near_only)
 
     if "loss" in stages:
         # forward objective only: fold the loss back into the params so
