@@ -14,6 +14,7 @@ pallas swaps NMS/ROI-pool for the Pallas kernels (incl. the isolated
 nms/pool stages).
 """
 
+import os
 import sys
 import time
 
@@ -23,6 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# smoke-test knobs, same as profile_train.py: FRCNN_TPU_PLATFORM=cpu,
+# FRCNN_PROFILE_HW=128x160 (set config after import — the sitecustomize
+# force-registers the remote backend and ignores env vars)
+if os.environ.get("FRCNN_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FRCNN_TPU_PLATFORM"])
 jax.config.update("jax_compilation_cache_dir", "/tmp/frcnn_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -84,8 +90,16 @@ def main():
 
     # profile at the north-star 800x450 bucket (duplo default is the
     # full 450x1000 wide-image envelope)
+    hw_prof = (450, 800)
+    if os.environ.get("FRCNN_PROFILE_HW"):
+        h_, w_ = os.environ["FRCNN_PROFILE_HW"].split("x")
+        hw_prof = (int(h_), int(w_))
     cfg = duplo_config()
-    cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
+    cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=hw_prof))
+    if "large" in mode:
+        from frcnn_tpu.config import vgg_large_model
+
+        cfg = cfg.replace(model=vgg_large_model())
     if "pallas" in mode:
         cfg = cfg.replace(pallas_mode="on")
     gen = AnchorGenerator(cfg)
