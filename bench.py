@@ -222,7 +222,10 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    # batch 32 is the measured throughput sweet spot on v5e (1109.9 img/s
+    # vs 1097.6 at batch 16, scripts/tpu_results.log); the loop bound is a
+    # traced arg so iters does not change the compiled program
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     # bf16 | int8 | int8s (static act scales) | pallas | s2d | large
     # (vgg_large family; no s2d — its first block is 2 convs) | combos like

@@ -78,14 +78,36 @@ class DetectionResult(NamedTuple):
     valid: jnp.ndarray           # [B, D] bool
 
 
+def _cut_sum(*arrays):
+    """Full-array f32 sum over every intermediate a profiling cut returns:
+    forces materialization of the whole stage output (a sliced read would
+    let XLA dead-code-eliminate most of the elementwise work), at the cost
+    of one cheap HBM-bound reduce per array. Non-finite entries (e.g. the
+    -inf padding in masked score rows) are zeroed so the checksum stays
+    finite — the profiler feeds it back into the input as a loop carry."""
+    tot = jnp.float32(0.0)
+    for a in arrays:
+        af = a.astype(jnp.float32)
+        tot = tot + jnp.sum(jnp.where(jnp.isfinite(af), af, 0.0))
+    return tot
+
+
 def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                     pnet: ProposalNet, cnet: ClassificationNet,
-                    normalize_inputs: bool = True):
+                    normalize_inputs: bool = True,
+                    stop_after: str | None = None):
     """Returns jittable ``detect(params, batch_stats, images, true_hw)``.
 
     ``images``: [B, H, W, 3] in the configured color space (padded bucket);
     ``true_hw``: [B, 2]. Set ``normalize_inputs=False`` if images are
     already normalized.
+
+    ``stop_after`` (profiling only): one of ``fwd | decode | select | nms |
+    pool | cnet`` truncates the program after that stage and returns a
+    scalar checksum of its outputs, so ``scripts/profile_detect.py
+    tailparts`` can time cumulative prefixes of the REAL program —
+    including relayouts/fusion boundaries that isolated stage benchmarks
+    with synthetic inputs do not see.
     """
     s = cfg.shapes
     kh, kw = cfg.roi_pooling.kh, cfg.roi_pooling.kw
@@ -184,6 +206,8 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
             anchor_maps, fm = pnet.apply(
                 {"params": params["pnet"]}, images, train=False
             )
+        if stop_after == "fwd":
+            return _cut_sum(*anchor_maps, fm)
         # transpose-free flatten: [B, Hi, Wi, 18] -> [B, Hi*Wi*3, 6] per
         # map; anchor tables above are permuted to this native order
         bsz = anchor_maps[0].shape[0]
@@ -209,6 +233,8 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
             )(h, w)
         )
 
+        if stop_after == "decode":
+            return _cut_sum(decoded, score, keep)
         top_idx, top_valid = select_proposals(keep, score, K)
         safe_top = jnp.maximum(top_idx, 0)
         top_boxes = jnp.take_along_axis(decoded, safe_top[:, :, None], axis=1)
@@ -216,6 +242,8 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
             top_valid, jnp.take_along_axis(score, safe_top, axis=1), -jnp.inf
         )
 
+        if stop_after == "select":
+            return _cut_sum(top_boxes, top_scores, top_idx)
         # Stage-1 NMS. The reference pools ALL NMS survivors
         # (Detector.lua:92-101); we cap at D = max_detections. NMS picks are
         # emitted in descending score order, so when more than D survive the
@@ -229,6 +257,8 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
         prop_boxes = jnp.take_along_axis(decoded, cand[:, :, None], axis=1)
         prop_score = jnp.take_along_axis(p_fg, cand, axis=1)
 
+        if stop_after == "nms":
+            return _cut_sum(prop_boxes, prop_score, nms_idx, prop_valid)
         # ROI pool proposals on the true-size feature map
         fw, fh = fm_loc.feature_map_size_jax(w, h)          # [B], [B]
         fr = prepare_roi_rects(
@@ -237,11 +267,15 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
         )
         pooled = batched_pool(fm, fr).reshape(fm.shape[0], D, -1)
 
+        if stop_after == "pool":
+            return _cut_sum(pooled)
         # one cnet batch over B x D candidates (eval: running stats)
         creg, clogp = cnet.apply(
             {"params": params["cnet"], "batch_stats": batch_stats["cnet"]},
             pooled, prop_valid, train=False,
         )
+        if stop_after == "cnet":
+            return _cut_sum(creg, clogp)
 
         refined = B.decode(prop_boxes, creg)        # r2 = anchorToInput(r, reg)
         cls = jnp.argmax(clogp, axis=-1)            # [B, D]

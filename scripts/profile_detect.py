@@ -375,11 +375,46 @@ def main():
             return (jnp.sum(reg[0, 0]) * 1e-20).astype(jnp.float32)
         loop_time(body, n, "cnet")
 
+    if "tailparts" in stages:
+        # cumulative prefixes of the REAL detect program (stop_after cuts in
+        # build_detect_fn): unlike the isolated stage bodies above, the
+        # deltas here include every relayout/fusion boundary between stages,
+        # so they account for the full-program milliseconds exactly.
+        cfg2 = cfg
+        imgs_in = images
+        if "s2d" in mode:
+            from frcnn_tpu.ops.pallas_block0 import pack_s2d
+
+            cfg2 = cfg.replace(input_layout="s2d")
+            imgs_in = pack_s2d(images)
+        prev = 0.0
+        for cut in ["fwd", "decode", "select", "nms", "pool", "cnet", None]:
+            det = build_detect_fn(cfg2, gen, pnet, cnet, stop_after=cut)
+
+            def body(c, det=det, cut=cut):
+                perturbed = jax.tree_util.tree_map(lambda a: a + c, imgs_in)
+                out = det(params, stats, perturbed, hw)
+                if cut is None:
+                    return jnp.sum(out.boxes[0, 0]) * 1e-20
+                return out * 1e-20
+
+            per = loop_time(body, n, f"cum[{cut or 'FULL'}]")
+            print(f"   delta[{cut or 'tail'}] {max(per - prev, 0.0)*1e3:9.3f} ms")
+            prev = per
+
     if "full" in stages:
-        detect = build_detect_fn(cfg, gen, pnet, cnet)
+        imgs_full = images
+        cfg_full = cfg
+        if "s2d" in mode:
+            from frcnn_tpu.ops.pallas_block0 import pack_s2d
+
+            cfg_full = cfg.replace(input_layout="s2d")
+            imgs_full = pack_s2d(images)
+        detect = build_detect_fn(cfg_full, gen, pnet, cnet)
 
         def body(c):
-            out = detect(params, stats, images + c, hw)
+            perturbed = jax.tree_util.tree_map(lambda a: a + c, imgs_full)
+            out = detect(params, stats, perturbed, hw)
             return jnp.sum(out.boxes[0, 0]) * 1e-20
         per = loop_time(body, n, "FULL")
         print(f"full-detect throughput ~= {bs/per:.1f} img/s")

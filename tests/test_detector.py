@@ -165,3 +165,17 @@ def test_pallas_detect_path_matches_xla(setup):
     np.testing.assert_array_equal(
         np.asarray(o_x.classes), np.asarray(o_k.classes)
     )
+
+
+def test_detect_stop_after_cuts(setup):
+    """Profiling cuts (build_detect_fn stop_after) return finite scalar
+    checksums at every stage of the real program (scripts/profile_detect.py
+    tailparts relies on these)."""
+    cfg, gen, pnet, cnet, params, stats, detect = setup
+    p = _force_fg_params(cfg, params)
+    imgs, hw = _images(cfg, np.random.default_rng(7))
+    for cut in ["fwd", "decode", "select", "nms", "pool", "cnet"]:
+        fn = jax.jit(build_detect_fn(cfg, gen, pnet, cnet, stop_after=cut))
+        out = fn(p, stats, imgs, hw)
+        assert out.shape == (), cut
+        assert np.isfinite(float(out)), cut
