@@ -191,6 +191,8 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                 p0["block0_prelu0"]["slope"].reshape(()),
                 interpret=interpret, compute_dtype=cdt,
             ).transpose(0, 1, 3, 2)
+            if stop_after == "b0":
+                return _cut_sum(b0)
             anchor_maps, fm = pnet.apply(
                 {"params": params["pnet"]}, None, train=False, block0_out=b0
             )

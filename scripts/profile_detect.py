@@ -82,6 +82,9 @@ def main():
         if a.startswith("mode="):
             mode = a[5:]
             rest.remove(a)
+    if "large" in rest:  # accept bare 'large' too (it is a model choice,
+        rest.remove("large")  # not a stage): same as putting it in mode=
+        mode += "+large"
     stages = set(rest) or {
         "norm", "fwd", "decode", "select", "nms", "pool", "cnet", "full"
     }
@@ -363,6 +366,62 @@ def main():
                 return (jnp.sum(out[0, 0, 0, 0, :2]) * 1e-20).astype(jnp.float32)
             loop_time(body, n, f"roi_pool({D})")
 
+    if "poolparts" in stages:
+        # Why is the in-situ pool delta (tailparts) ~2.4x the isolated pool
+        # stage? Candidates: bf16 kernel arithmetic (in situ fm is the
+        # backbone's bf16, isolated bench feeds f32), the [B,H,W,C] ->
+        # [B,W,H,C] transpose relayout of the 70 MB feature map, and the
+        # output reshape boundary into cnet. Time each in isolation.
+        from frcnn_tpu.ops.pallas_roi_pool import pallas_adaptive_max_pool
+
+        fmp = jnp.asarray(rng.normal(size=(bs, gen.fm_hw[0], gen.fm_hw[1],
+                                           cfg.model.layers[-1].filters))
+                          .astype(np.float32))
+        fmp16 = fmp.astype(jnp.bfloat16)
+        rects = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(0, 600, (bs, D, 2)), rng.uniform(30, 200, (bs, D, 2))],
+                axis=2,
+            ).astype(np.float32)
+        )
+        rects = rects.at[:, :, 2:].add(rects[:, :, :2])
+
+        def feature_rects_p(r, c):
+            fw, fh = gen.fm_localizer.feature_map_size_jax(hw[:, 1], hw[:, 0])
+            return prepare_roi_rects(
+                gen.fm_localizer.input_to_feature_rect_jax(r + c),
+                fw[:, None].astype(jnp.float32),
+                fh[:, None].astype(jnp.float32),
+            )
+
+        def body_t(c):
+            ft = jnp.transpose(fmp16 + c.astype(jnp.bfloat16), (0, 2, 1, 3))
+            return (jnp.sum(ft[0, 0, 0, :2].astype(jnp.float32))
+                    * 1e-20).astype(jnp.float32)
+        loop_time(body_t, n, "transpose(fm bf16)")
+
+        def body_f32(c):
+            out = pallas_adaptive_max_pool(fmp + c, feature_rects_p(rects, c),
+                                           kh, kw)
+            return (jnp.sum(out[0, 0, 0, 0, :2]) * 1e-20).astype(jnp.float32)
+        loop_time(body_f32, n, f"pool({D})[f32]")
+
+        def body_bf16(c):
+            out = pallas_adaptive_max_pool(fmp16 + c.astype(jnp.bfloat16),
+                                           feature_rects_p(rects, c), kh, kw)
+            return (jnp.sum(out[0, 0, 0, 0, :2].astype(jnp.float32))
+                    * 1e-20).astype(jnp.float32)
+        loop_time(body_bf16, n, f"pool({D})[bf16]")
+
+        def body_bf16_rs(c):
+            out = pallas_adaptive_max_pool(fmp16 + c.astype(jnp.bfloat16),
+                                           feature_rects_p(rects, c), kh, kw)
+            flat = out.reshape(bs, D, -1)
+            # full-sum forces the reshape/relayout to materialize
+            return (jnp.sum(flat.astype(jnp.float32)) * 1e-23).astype(
+                jnp.float32)
+        loop_time(body_bf16_rs, n, f"pool({D})[bf16]+reshape")
+
     if "cnet" in stages:
         Dcn = kh * kw * cfg.model.layers[-1].filters
         x = jnp.asarray(rng.normal(size=(bs, D, Dcn)).astype(np.float32))
@@ -388,7 +447,10 @@ def main():
             cfg2 = cfg.replace(input_layout="s2d")
             imgs_in = pack_s2d(images)
         prev = 0.0
-        for cut in ["fwd", "decode", "select", "nms", "pool", "cnet", None]:
+        cuts = ["fwd", "decode", "select", "nms", "pool", "cnet", None]
+        if "s2d" in mode:
+            cuts = ["b0"] + cuts  # frontend (normalize+views+block0+T) in situ
+        for cut in cuts:
             det = build_detect_fn(cfg2, gen, pnet, cnet, stop_after=cut)
 
             def body(c, det=det, cut=cut):
