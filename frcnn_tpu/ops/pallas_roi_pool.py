@@ -33,22 +33,30 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _kernel(rects_ref, fmt_ref, out_ref, colmax_ref, *, kh: int, kw: int,
-            maxw: int, maxh: int, n_rois: int):
-    """fmt_ref: [1, W, H, C] (W leading so per-bin dynamic slices run along
-    an UNTILED axis — Mosaic requires sublane-dim dynamic offsets to be
-    8-aligned); colmax scratch: [H, kw, C] for the same reason on rows.
-    rects_ref: this block's [1, n_rois, 4] int32 rects in SMEM."""
-    W = fmt_ref.shape[1]
-    H = fmt_ref.shape[2]
+def _kernel(rects_ref, fm_ref, out_ref, rowmax_ref, *, kh: int, kw: int,
+            maxh: int, maxw8: int, wal: int, n_rois: int):
+    """fm_ref: [1, H, W, C] — the feature map in its NATIVE layout (no
+    boundary transpose; the earlier [B, W, H, C] variant forced a full
+    70 MB relayout of the conv output entering the kernel). Row bins slice
+    the untiled leading H axis (arbitrary dynamic offsets are fine there);
+    column bins then slice the [kh, W, C] f32 scratch along W — a TILED
+    sublane axis, so offsets are aligned down to a multiple of 8 and the
+    existing mask-shift mechanism absorbs the misalignment. ``maxw8`` is
+    sized so W - maxw8 is a multiple of 8 (``wal`` = (W - maxw8)//8),
+    which makes the clamped aligned offset always in-bounds AND the mask
+    window always wide enough (shift + bin width <= maxw8).
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (maxw, 1, 1), 0)
+    ALL arithmetic in f32 even for bf16 feature maps: measured on v5e the
+    packed-bf16 where/max path is 1.65x slower than upcasting each VMEM
+    window slice (2.45 -> 1.66 ms at B=16, D=128). Exact: bf16->f32 is
+    lossless, max commutes with the upcast, and the final downcast
+    restores the original bf16 values bit-for-bit.
+
+    rects_ref: this block's [1, n_rois, 4] int32 rects in SMEM."""
+    H = fm_ref.shape[1]
+
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (maxh, 1, 1), 0)
-    # ALL arithmetic in f32 even for bf16 feature maps: measured on v5e,
-    # the bf16 where/max path is 1.65x slower (packed (16,128) tiles) than
-    # upcasting each VMEM window slice (2.45 -> ~1.5 ms at B=16, D=128).
-    # Exact: bf16->f32 is lossless, max commutes with the upcast, and the
-    # final downcast restores the original bf16 values bit-for-bit.
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, maxw8, 1), 1)
     neg = jnp.asarray(-jnp.inf, jnp.float32)
 
     def roi_body(rr, _):
@@ -59,28 +67,28 @@ def _kernel(rects_ref, fmt_ref, out_ref, colmax_ref, *, kh: int, kw: int,
         w = x1 - x0
         h = y1 - y0
 
-        # column bins -> colmax[:, cb, :] = [H, C]
-        for cb in range(kw):
-            lo = x0 + (cb * w) // kw
-            hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
-            lo_c = jnp.clip(lo, 0, W - maxw)
-            shift = lo - lo_c
-            window = fmt_ref[0, pl.ds(lo_c, maxw), :, :].astype(jnp.float32)
-            mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
-            colmax_ref[:, cb, :] = jnp.max(
-                jnp.where(mask, window, neg), axis=0
-            )
-
-        # row bins over colmax scratch [H, kw, C] (f32)
+        # row bins -> rowmax[rb, :, :] = [W, C]
         for rb in range(kh):
             lo = y0 + (rb * h) // kh
             hi = y0 + _ceil_div_t(((rb + 1) * h), kh)
             lo_c = jnp.clip(lo, 0, H - maxh)
             shift = lo - lo_c
-            window = colmax_ref[pl.ds(lo_c, maxh), :, :]       # [maxh, kw, C]
+            window = fm_ref[0, pl.ds(lo_c, maxh), :, :].astype(jnp.float32)
             mask = (row_iota >= shift) & (row_iota < shift + (hi - lo))
-            out_ref[0, rr, rb, :, :] = jnp.max(
+            rowmax_ref[rb, :, :] = jnp.max(
                 jnp.where(mask, window, neg), axis=0
+            )
+
+        # column bins over rowmax scratch [kh, W, C] (f32); aligned slice
+        for cb in range(kw):
+            lo = x0 + (cb * w) // kw
+            hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
+            lo_a = 8 * jnp.clip(lo // 8, 0, wal)
+            shift = lo - lo_a
+            window = rowmax_ref[:, pl.ds(lo_a, maxw8), :]  # [kh, maxw8, C]
+            mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
+            out_ref[0, rr, :, cb, :] = jnp.max(
+                jnp.where(mask, window, neg), axis=1
             ).astype(out_ref.dtype)
         return 0
 
@@ -104,8 +112,14 @@ def _forward(fm, rects, kh: int, kw: int, interpret: bool):
     D = rects.shape[1]
     maxw = min(W, _cdiv(W, kw) + 1)
     maxh = min(H, _cdiv(H, kh) + 1)
+    # column windows live on a tiled sublane axis: size them so that
+    # W - maxw8 is a multiple of 8 — the aligned-down offset then clamps
+    # to exactly W - maxw8 and the mask window still covers every bin
+    # (worst shift 7 normally; hi - (W - maxw8) <= maxw8 when clamped)
+    m0 = min(W, maxw + 7)
+    maxw8 = W - 8 * ((W - m0) // 8)
+    wal = (W - maxw8) // 8
     rects_i = rects.astype(jnp.int32)
-    fmt = jnp.transpose(fm, (0, 2, 1, 3))  # [B, W, H, C]
 
     # Split rois over the grid to bound per-program output VMEM; the fm
     # block index is unchanged across roi-blocks so Pallas keeps it resident.
@@ -122,24 +136,25 @@ def _forward(fm, rects, kh: int, kw: int, interpret: bool):
         in_specs=[
             pl.BlockSpec((1, roi_block, 4), lambda b, rb: (b, rb, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, W, H, C), lambda b, rb: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, W, C), lambda b, rb: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, roi_block, kh, kw, C), lambda b, rb: (b, rb, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((H, kw, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((kh, W, C), jnp.float32)],
     )
     kernel = functools.partial(
-        _kernel, kh=kh, kw=kw, maxw=maxw, maxh=maxh, n_rois=roi_block
+        _kernel, kh=kh, kw=kw, maxh=maxh, maxw8=maxw8, wal=wal,
+        n_rois=roi_block
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, D, kh, kw, C), fm.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rects_i, fmt)
+    )(rects_i, fm)
 
 
 def _bwd_kernel(rects_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref, dcol_ref,
