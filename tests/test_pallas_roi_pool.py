@@ -155,3 +155,31 @@ def test_pallas_pool_gradient_bf16():
     dis_p = int((np.abs(gp - gt) > 0.02 + 0.03 * np.abs(gt)).sum())
     dis_x = int((np.abs(gx - gt) > 0.02 + 0.03 * np.abs(gt)).sum())
     assert dis_p <= max(dis_x, 8), (dis_p, dis_x)
+
+
+def test_aligned_column_window_covers_every_bin():
+    """Invariants of the v2 kernel's aligned column slicing: for every
+    feature-map width W and every possible bin [lo, hi) of every rect,
+    the 8-aligned window start lo_a = 8*clip(lo//8, 0, wal) is in bounds
+    and the mask window [shift, shift + hi - lo) fits inside maxw8."""
+    from frcnn_tpu.ops.pallas_roi_pool import _cdiv
+
+    for W in list(range(1, 40)) + [50, 57, 100, 125, 200, 256]:
+        for kw in (1, 2, 6, 7):
+            maxw = min(W, _cdiv(W, kw) + 1)
+            m0 = min(W, maxw + 7)
+            maxw8 = W - 8 * ((W - m0) // 8)
+            wal = (W - maxw8) // 8
+            assert maxw8 >= maxw and maxw8 <= W and (W - maxw8) % 8 == 0
+            for x0 in range(W):
+                for x1 in range(x0 + 1, W + 1):
+                    w = x1 - x0
+                    for cb in range(kw):
+                        lo = x0 + (cb * w) // kw
+                        hi = x0 + -((-(cb + 1) * w) // kw)
+                        lo_a = 8 * min(max(lo // 8, 0), wal)
+                        assert 0 <= lo_a <= W - maxw8
+                        shift = lo - lo_a
+                        assert shift >= 0
+                        assert shift + (hi - lo) <= maxw8, (
+                            W, kw, x0, x1, cb, lo, hi, lo_a, maxw8)
