@@ -222,9 +222,9 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
 
 
 def main():
-    # batch 32 is the measured throughput sweet spot on v5e (1109.9 img/s
-    # vs 1097.6 at batch 16, scripts/tpu_results.log); the loop bound is a
-    # traced arg so iters does not change the compiled program
+    # batch 16 and 32 measure identically post pool-fix (1160.0 vs 1159.2
+    # img/s, scripts/tpu_results.log r2s8); 32 kept as default. The loop
+    # bound is a traced arg so iters does not change the compiled program
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     # bf16 | int8 | int8s (static act scales) | pallas | s2d | large
