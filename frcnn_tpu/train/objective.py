@@ -133,9 +133,18 @@ def label_one_image(cfg: Config, gen: AnchorGenerator, rng, true_hw,
 
 
 def build_objective(cfg: Config, gen: AnchorGenerator,
-                    pnet: ProposalNet, cnet: ClassificationNet):
+                    pnet: ProposalNet, cnet: ClassificationNet,
+                    bwd_cut: tuple = ()):
     """Returns ``loss_fn(params, batch_stats, batch, rng) ->
-    (total_objective, aux)`` with aux = (new_batch_stats, metrics)."""
+    (total_objective, aux)`` with aux = (new_batch_stats, metrics).
+
+    ``bwd_cut`` is a profiling-only knob (the training analog of
+    ``build_detect_fn(stop_after=...)``): stop_gradient barriers that
+    truncate the backward pass so its stages can be timed by difference.
+    "fm" cuts the ROI-pool path into the feature map (kills the pool
+    backward kernel; the anchor-map losses still drive the full conv
+    backward), "maps" additionally cuts the anchor-map losses (no pnet
+    backward at all). Forward values are identical in every mode."""
 
     s = cfg.shapes
     kh, kw = cfg.roi_pooling.kh, cfg.roi_pooling.kw
@@ -174,6 +183,11 @@ def build_objective(cfg: Config, gen: AnchorGenerator,
         if cfg.remat:
             pnet_fwd = jax.checkpoint(pnet_fwd)
         anchor_maps, fm = pnet_fwd(params["pnet"], norm, rng_pdrop)
+        if "fm" in bwd_cut:
+            fm = jax.lax.stop_gradient(fm)
+        if "maps" in bwd_cut:
+            anchor_maps = jax.tree_util.tree_map(
+                jax.lax.stop_gradient, anchor_maps)
         pred = _flatten_batched(gen, anchor_maps)  # [B, A, 6]
 
         # 3. labeling (vmapped; per-image rng)

@@ -334,6 +334,29 @@ def main():
         measure("neg(sample)", neg_only)
         measure("near(pos+nearby)", near_only)
 
+    if "bwdparts" in stages:
+        # backward-pass breakdown by stop_gradient truncation (timed by
+        # difference against the full grad):
+        #   grad[sg fm+maps]  = fwd + cnet/loss backward only
+        #   grad[sg fm]       - above  = pnet (conv) backward
+        #   grad[full]        - sg fm  = ROI-pool backward path
+        from frcnn_tpu.train.objective import build_objective as _bo
+
+        def grad_of(fn):
+            def body(p, s, o, batch, rng):
+                (total, (new_bs, _)), grads = jax.value_and_grad(
+                    fn, has_aux=True)(p, s, batch, rng)
+                newp = jax.tree_util.tree_map(
+                    lambda a, g: a - 1e-30 * g, p, grads)
+                return newp, new_bs, o, total
+            return body
+
+        measure("grad[sg fm+maps]",
+                grad_of(_bo(cfg, gen, pnet, cnet, bwd_cut=("fm", "maps"))))
+        measure("grad[sg fm]",
+                grad_of(_bo(cfg, gen, pnet, cnet, bwd_cut=("fm",))))
+        measure("grad[full]", grad_of(loss_fn))
+
     if "loss" in stages:
         # forward objective only: fold the loss back into the params so
         # iterations stay data-dependent (sequential under XLA)
