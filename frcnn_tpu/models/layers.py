@@ -59,7 +59,13 @@ class PReLU(nn.Module):
 
 
 def ceil_max_pool_2x2(x):
-    """2x2 stride-2 max pool with ceil-mode output size. x: [..., H, W, C]."""
+    """2x2 stride-2 max pool with ceil-mode output size. x: [..., H, W, C].
+
+    Backward goes through XLA's reduce_window autodiff (SelectAndScatter).
+    An elementwise first-max custom VJP was tried and REVERTED: its
+    stride-2 slices + interleave are relayout-bound on TPU tiled layouts
+    and measured 15 ms SLOWER than SelectAndScatter across the train
+    step's four pool backwards (scripts/tpu_results.log r2s8)."""
     h, w = x.shape[-3], x.shape[-2]
     pad_h = h % 2
     pad_w = w % 2

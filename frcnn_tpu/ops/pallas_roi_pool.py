@@ -33,8 +33,8 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _kernel(rects_ref, fm_ref, out_ref, rowmax_ref, *, kh: int, kw: int,
-            maxh: int, maxw8: int, wal: int, n_rois: int):
+def _kernel(rects_ref, valid_ref, fm_ref, out_ref, rowmax_ref, *, kh: int,
+            kw: int, maxh: int, maxw8: int, wal: int, n_rois: int):
     """fm_ref: [1, H, W, C] — the feature map in its NATIVE layout (no
     boundary transpose; the earlier [B, W, H, C] variant forced a full
     70 MB relayout of the conv output entering the kernel). Row bins slice
@@ -52,7 +52,13 @@ def _kernel(rects_ref, fm_ref, out_ref, rowmax_ref, *, kh: int, kw: int,
     lossless, max commutes with the upcast, and the final downcast
     restores the original bf16 values bit-for-bit.
 
-    rects_ref: this block's [1, n_rois, 4] int32 rects in SMEM."""
+    rects_ref: this block's [1, n_rois, 4] int32 rects in SMEM.
+    valid_ref: [1, n_rois] int32 in SMEM — rois with 0 are skipped
+    entirely (their output rows zero-filled). The masked losses already
+    send an exactly-zero cotangent to padded roi slots, so skipping them
+    changes nothing downstream while the per-roi cost here is
+    size-INDEPENDENT (fixed maxh/maxw8 windows) and padding typically
+    outnumbers real rois several-fold in training."""
     H = fm_ref.shape[1]
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (maxh, 1, 1), 0)
@@ -60,36 +66,44 @@ def _kernel(rects_ref, fm_ref, out_ref, rowmax_ref, *, kh: int, kw: int,
     neg = jnp.asarray(-jnp.inf, jnp.float32)
 
     def roi_body(rr, _):
-        x0 = rects_ref[0, rr, 0]
-        y0 = rects_ref[0, rr, 1]
-        x1 = rects_ref[0, rr, 2]
-        y1 = rects_ref[0, rr, 3]
-        w = x1 - x0
-        h = y1 - y0
+        @pl.when(valid_ref[0, rr, 0] > 0)
+        def _pool_roi():
+            x0 = rects_ref[0, rr, 0]
+            y0 = rects_ref[0, rr, 1]
+            x1 = rects_ref[0, rr, 2]
+            y1 = rects_ref[0, rr, 3]
+            w = x1 - x0
+            h = y1 - y0
 
-        # row bins -> rowmax[rb, :, :] = [W, C]
-        for rb in range(kh):
-            lo = y0 + (rb * h) // kh
-            hi = y0 + _ceil_div_t(((rb + 1) * h), kh)
-            lo_c = jnp.clip(lo, 0, H - maxh)
-            shift = lo - lo_c
-            window = fm_ref[0, pl.ds(lo_c, maxh), :, :].astype(jnp.float32)
-            mask = (row_iota >= shift) & (row_iota < shift + (hi - lo))
-            rowmax_ref[rb, :, :] = jnp.max(
-                jnp.where(mask, window, neg), axis=0
+            # row bins -> rowmax[rb, :, :] = [W, C]
+            for rb in range(kh):
+                lo = y0 + (rb * h) // kh
+                hi = y0 + _ceil_div_t(((rb + 1) * h), kh)
+                lo_c = jnp.clip(lo, 0, H - maxh)
+                shift = lo - lo_c
+                window = fm_ref[0, pl.ds(lo_c, maxh), :, :].astype(jnp.float32)
+                mask = (row_iota >= shift) & (row_iota < shift + (hi - lo))
+                rowmax_ref[rb, :, :] = jnp.max(
+                    jnp.where(mask, window, neg), axis=0
+                )
+
+            # column bins over rowmax scratch [kh, W, C] (f32); aligned slice
+            for cb in range(kw):
+                lo = x0 + (cb * w) // kw
+                hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
+                lo_a = 8 * jnp.clip(lo // 8, 0, wal)
+                shift = lo - lo_a
+                window = rowmax_ref[:, pl.ds(lo_a, maxw8), :]  # [kh, maxw8, C]
+                mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
+                out_ref[0, rr, :, cb, :] = jnp.max(
+                    jnp.where(mask, window, neg), axis=1
+                ).astype(out_ref.dtype)
+
+        @pl.when(valid_ref[0, rr, 0] == 0)
+        def _zero_roi():
+            out_ref[0, rr, :, :, :] = jnp.zeros(
+                (kh, kw, out_ref.shape[-1]), out_ref.dtype
             )
-
-        # column bins over rowmax scratch [kh, W, C] (f32); aligned slice
-        for cb in range(kw):
-            lo = x0 + (cb * w) // kw
-            hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
-            lo_a = 8 * jnp.clip(lo // 8, 0, wal)
-            shift = lo - lo_a
-            window = rowmax_ref[:, pl.ds(lo_a, maxw8), :]  # [kh, maxw8, C]
-            mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
-            out_ref[0, rr, :, cb, :] = jnp.max(
-                jnp.where(mask, window, neg), axis=1
-            ).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, n_rois, roi_body, 0)
@@ -104,12 +118,30 @@ def pallas_adaptive_max_pool(fm, rects, kh: int, kw: int,
                              interpret: bool = False):
     """fm: [B, H, W, C]; rects: [B, D, 4] prepared feature rects (float,
     integer-valued). Returns [B, D, kh, kw, C]."""
-    return _forward(fm, rects, kh, kw, interpret)
+    return _forward(fm, rects, None, kh, kw, interpret)
 
 
-def _forward(fm, rects, kh: int, kw: int, interpret: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def pallas_adaptive_max_pool_valid(fm, rects, valid, kh: int, kw: int,
+                                   interpret: bool = False):
+    """Like :func:`pallas_adaptive_max_pool` plus ``valid``: [B, D] bool or
+    int roi-validity mask. Invalid rois are skipped in BOTH passes (their
+    pooled rows are zero; their fm gradient contribution is zero). Only
+    correct when the caller's losses mask those rois out — then their
+    cotangent is exactly zero and skipping is a pure speedup (the
+    training objective pads R to a static max; see objective.py)."""
+    return _forward(fm, rects, valid, kh, kw, interpret)
+
+
+def _forward(fm, rects, valid, kh: int, kw: int, interpret: bool):
     B, H, W, C = fm.shape
     D = rects.shape[1]
+    # [B, D, 1]: Mosaic checks the LAST TWO block dims even in SMEM
+    # ((roi_block, 1) passes; a 2-D (1, roi_block) block is rejected)
+    if valid is None:
+        valid_i = jnp.ones((B, D, 1), jnp.int32)
+    else:
+        valid_i = valid.astype(jnp.int32).reshape(B, D, 1)
     maxw = min(W, _cdiv(W, kw) + 1)
     maxh = min(H, _cdiv(H, kh) + 1)
     # column windows live on a tiled sublane axis: size them so that
@@ -136,6 +168,8 @@ def _forward(fm, rects, kh: int, kw: int, interpret: bool):
         in_specs=[
             pl.BlockSpec((1, roi_block, 4), lambda b, rb: (b, rb, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, roi_block, 1), lambda b, rb: (b, rb, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H, W, C), lambda b, rb: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -154,11 +188,12 @@ def _forward(fm, rects, kh: int, kw: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((B, D, kh, kw, C), fm.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rects_i, fm)
+    )(rects_i, valid_i, fm)
 
 
-def _bwd_kernel(rects_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref, dcol_ref,
-                *, kh: int, kw: int, maxw: int, maxh: int, n_rois: int):
+def _bwd_kernel(rects_ref, valid_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref,
+                dcol_ref, *, kh: int, kw: int, maxw: int, maxh: int,
+                n_rois: int):
     """Gradient of the pool: recompute the two masked max stages and
     scatter ``g`` back, dividing evenly among tied maxima per stage —
     exactly the VJP of ``jnp.max(jnp.where(mask, window, -inf))`` that the
@@ -186,80 +221,88 @@ def _bwd_kernel(rects_ref, fmt_ref, g_ref, dfmt_ref, colmax_ref, dcol_ref,
     one = jnp.asarray(1, jnp.int32)
 
     def roi_body(rr, _):
-        x0 = rects_ref[0, rr, 0]
-        y0 = rects_ref[0, rr, 1]
-        x1 = rects_ref[0, rr, 2]
-        y1 = rects_ref[0, rr, 3]
-        w = x1 - x0
-        h = y1 - y0
+        @pl.when(valid_ref[0, rr, 0] > 0)
+        def _bwd_roi():
+            x0 = rects_ref[0, rr, 0]
+            y0 = rects_ref[0, rr, 1]
+            x1 = rects_ref[0, rr, 2]
+            y1 = rects_ref[0, rr, 3]
+            w = x1 - x0
+            h = y1 - y0
 
-        # stage 1 recompute: colmax[:, cb, :] = [H, C]; zero dcol
-        for cb in range(kw):
-            lo = x0 + (cb * w) // kw
-            hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
-            lo_c = jnp.clip(lo, 0, W - maxw)
-            shift = lo - lo_c
-            window = fmt_ref[0, pl.ds(lo_c, maxw), :, :].astype(jnp.float32)
-            mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
-            colmax_ref[:, cb, :] = jnp.max(
-                jnp.where(mask, window, neg), axis=0
-            )
-        dcol_ref[:, :, :] = jnp.zeros((H, kw, C), dcol_ref.dtype)
+            # stage 1 recompute: colmax[:, cb, :] = [H, C]; zero dcol
+            for cb in range(kw):
+                lo = x0 + (cb * w) // kw
+                hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
+                lo_c = jnp.clip(lo, 0, W - maxw)
+                shift = lo - lo_c
+                window = fmt_ref[0, pl.ds(lo_c, maxw), :, :].astype(jnp.float32)
+                mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
+                colmax_ref[:, cb, :] = jnp.max(
+                    jnp.where(mask, window, neg), axis=0
+                )
+            dcol_ref[:, :, :] = jnp.zeros((H, kw, C), dcol_ref.dtype)
 
-        # row stage backward: dcol[hrow, cb, :] += g[rb, cb, :] * eq/cnt
-        for rb in range(kh):
-            lo = y0 + (rb * h) // kh
-            hi = y0 + _ceil_div_t(((rb + 1) * h), kh)
-            lo_c = jnp.clip(lo, 0, H - maxh)
-            shift = lo - lo_c
-            window = colmax_ref[pl.ds(lo_c, maxh), :, :]       # [maxh, kw, C] f32
-            mask = (row_iota >= shift) & (row_iota < shift + (hi - lo))
-            masked = jnp.where(mask, window, neg)
-            rowmax = jnp.max(masked, axis=0)
-            # eq from the masked VALUES, not `mask & (window == rowmax)`:
-            # and-ing a (maxh,1,1)-broadcast i1 with a full-shape i1 hits a
-            # Mosaic relayout bug ("replicated in destination but not in
-            # source" on vector<...xi1>); out-of-window lanes are -inf and
-            # can never equal rowmax (bins are nonempty), so this is the
-            # same predicate in one clean layout
-            eq = masked == rowmax[None]                        # [maxh, kw, C]
-            cnt = jnp.maximum(jnp.sum(eq.astype(jnp.int32), axis=0), one)
-            contrib = (
-                eq.astype(jnp.float32)
-                * (g_ref[0, rr, rb].astype(jnp.float32)
-                   / cnt.astype(jnp.float32))[None]
-            )
-            dcol_ref[pl.ds(lo_c, maxh), :, :] = (
-                dcol_ref[pl.ds(lo_c, maxh), :, :] + contrib
-            )
+            # row stage backward: dcol[hrow, cb, :] += g[rb, cb, :] * eq/cnt
+            for rb in range(kh):
+                lo = y0 + (rb * h) // kh
+                hi = y0 + _ceil_div_t(((rb + 1) * h), kh)
+                lo_c = jnp.clip(lo, 0, H - maxh)
+                shift = lo - lo_c
+                window = colmax_ref[pl.ds(lo_c, maxh), :, :]       # [maxh, kw, C] f32
+                mask = (row_iota >= shift) & (row_iota < shift + (hi - lo))
+                masked = jnp.where(mask, window, neg)
+                rowmax = jnp.max(masked, axis=0)
+                # eq from the masked VALUES, not `mask & (window == rowmax)`:
+                # and-ing a (maxh,1,1)-broadcast i1 with a full-shape i1 hits a
+                # Mosaic relayout bug ("replicated in destination but not in
+                # source" on vector<...xi1>); out-of-window lanes are -inf and
+                # can never equal rowmax (bins are nonempty), so this is the
+                # same predicate in one clean layout
+                eq = masked == rowmax[None]                        # [maxh, kw, C]
+                cnt = jnp.maximum(jnp.sum(eq.astype(jnp.int32), axis=0), one)
+                contrib = (
+                    eq.astype(jnp.float32)
+                    * (g_ref[0, rr, rb].astype(jnp.float32)
+                       / cnt.astype(jnp.float32))[None]
+                )
+                dcol_ref[pl.ds(lo_c, maxh), :, :] = (
+                    dcol_ref[pl.ds(lo_c, maxh), :, :] + contrib
+                )
 
-        # column stage backward: dfmt[col, hrow, :] += dcol * eq/cnt
-        for cb in range(kw):
-            lo = x0 + (cb * w) // kw
-            hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
-            lo_c = jnp.clip(lo, 0, W - maxw)
-            shift = lo - lo_c
-            window = fmt_ref[0, pl.ds(lo_c, maxw), :, :].astype(jnp.float32)
-            mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
-            colm = colmax_ref[:, cb, :]                        # [H, C] f32
-            # same Mosaic i1-relayout workaround as the row stage above
-            eq = jnp.where(mask, window, neg) == colm[None]    # [maxw, H, C]
-            cnt = jnp.maximum(jnp.sum(eq.astype(jnp.int32), axis=0), one)
-            contrib = (
-                eq.astype(jnp.float32)
-                * (dcol_ref[:, cb, :] / cnt.astype(jnp.float32))[None]
-            )
-            dfmt_ref[0, pl.ds(lo_c, maxw), :, :] = (
-                dfmt_ref[0, pl.ds(lo_c, maxw), :, :] + contrib
-            )
+            # column stage backward: dfmt[col, hrow, :] += dcol * eq/cnt
+            for cb in range(kw):
+                lo = x0 + (cb * w) // kw
+                hi = x0 + _ceil_div_t(((cb + 1) * w), kw)
+                lo_c = jnp.clip(lo, 0, W - maxw)
+                shift = lo - lo_c
+                window = fmt_ref[0, pl.ds(lo_c, maxw), :, :].astype(jnp.float32)
+                mask = (col_iota >= shift) & (col_iota < shift + (hi - lo))
+                colm = colmax_ref[:, cb, :]                        # [H, C] f32
+                # same Mosaic i1-relayout workaround as the row stage above
+                eq = jnp.where(mask, window, neg) == colm[None]    # [maxw, H, C]
+                cnt = jnp.maximum(jnp.sum(eq.astype(jnp.int32), axis=0), one)
+                contrib = (
+                    eq.astype(jnp.float32)
+                    * (dcol_ref[:, cb, :] / cnt.astype(jnp.float32))[None]
+                )
+                dfmt_ref[0, pl.ds(lo_c, maxw), :, :] = (
+                    dfmt_ref[0, pl.ds(lo_c, maxw), :, :] + contrib
+                )
         return 0
 
     jax.lax.fori_loop(0, n_rois, roi_body, 0)
 
 
-def _backward(fm, rects, g, kh: int, kw: int, interpret: bool):
+def _backward(fm, rects, valid, g, kh: int, kw: int, interpret: bool):
     B, H, W, C = fm.shape
     D = rects.shape[1]
+    # [B, D, 1]: Mosaic checks the LAST TWO block dims even in SMEM
+    # ((roi_block, 1) passes; a 2-D (1, roi_block) block is rejected)
+    if valid is None:
+        valid_i = jnp.ones((B, D, 1), jnp.int32)
+    else:
+        valid_i = valid.astype(jnp.int32).reshape(B, D, 1)
     maxw = min(W, _cdiv(W, kw) + 1)
     maxh = min(H, _cdiv(H, kh) + 1)
     rects_i = rects.astype(jnp.int32)
@@ -277,6 +320,8 @@ def _backward(fm, rects, g, kh: int, kw: int, interpret: bool):
         grid=(B, n_blocks),
         in_specs=[
             pl.BlockSpec((1, roi_block, 4), lambda b, rb: (b, rb, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, roi_block, 1), lambda b, rb: (b, rb, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, W, H, C), lambda b, rb: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -301,17 +346,32 @@ def _backward(fm, rects, g, kh: int, kw: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((B, W, H, C), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rects_i, fmt, g.astype(fm.dtype))
+    )(rects_i, valid_i, fmt, g.astype(fm.dtype))
     return jnp.transpose(dfmt, (0, 2, 1, 3)).astype(fm.dtype)
 
 
 def _fwd(fm, rects, kh, kw, interpret):
-    return _forward(fm, rects, kh, kw, interpret), (fm, rects)
+    return _forward(fm, rects, None, kh, kw, interpret), (fm, rects)
 
 
 def _bwd(kh, kw, interpret, res, g):
     fm, rects = res
-    return _backward(fm, rects, g, kh, kw, interpret), jnp.zeros_like(rects)
+    return (_backward(fm, rects, None, g, kh, kw, interpret),
+            jnp.zeros_like(rects))
 
 
 pallas_adaptive_max_pool.defvjp(_fwd, _bwd)
+
+
+def _fwd_valid(fm, rects, valid, kh, kw, interpret):
+    return (_forward(fm, rects, valid, kh, kw, interpret),
+            (fm, rects, valid))
+
+
+def _bwd_valid(kh, kw, interpret, res, g):
+    fm, rects, valid = res
+    return (_backward(fm, rects, valid, g, kh, kw, interpret),
+            jnp.zeros_like(rects), jnp.zeros_like(valid))
+
+
+pallas_adaptive_max_pool_valid.defvjp(_fwd_valid, _bwd_valid)

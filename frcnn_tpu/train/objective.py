@@ -240,7 +240,9 @@ def build_objective(cfg: Config, gen: AnchorGenerator,
             # VMEM-resident Pallas pool; its custom VJP is a real Pallas
             # backward kernel (ops/pallas_roi_pool.py), so training takes
             # the fast path in BOTH passes
-            from frcnn_tpu.ops.pallas_roi_pool import pallas_adaptive_max_pool
+            from frcnn_tpu.ops.pallas_roi_pool import (
+                pallas_adaptive_max_pool_valid,
+            )
 
             fw, fh = fm_loc.feature_map_size_jax(
                 batch.true_hw[:, 1], batch.true_hw[:, 0]
@@ -249,8 +251,11 @@ def build_objective(cfg: Config, gen: AnchorGenerator,
                 feat_rects, fw[:, None].astype(jnp.float32),
                 fh[:, None].astype(jnp.float32),
             )
-            pooled = pallas_adaptive_max_pool(
-                fm, pr, kh, kw, cfg.pallas_mode == "interpret"
+            # padded roi slots (most of R in practice) are skipped inside
+            # the kernel in both passes; exact because every loss below is
+            # masked by roi_valid/pv, so their cotangent is already zero
+            pooled = pallas_adaptive_max_pool_valid(
+                fm, pr, roi_valid, kh, kw, cfg.pallas_mode == "interpret"
             )
         else:
             def pool_one(fm_i, fr_i, hw):

@@ -176,3 +176,4 @@ def test_msra_init_statistics(cfg, params_stats):
     expect_std = np.sqrt(2.0 / (kh * kw * cout))
     assert float(jnp.std(k)) == pytest.approx(expect_std, rel=0.2)
     assert float(jnp.abs(params["pnet"]["block3_conv0"]["bias"]).max()) == 0.0
+

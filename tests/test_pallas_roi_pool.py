@@ -183,3 +183,57 @@ def test_aligned_column_window_covers_every_bin():
                         assert shift >= 0
                         assert shift + (hi - lo) <= maxw8, (
                             W, kw, x0, x1, cb, lo, hi, lo_a, maxw8)
+
+
+def test_pallas_pool_valid_skip_fwd_and_grad():
+    """pallas_adaptive_max_pool_valid: invalid rois yield zero pooled rows
+    and contribute nothing to the fm gradient; valid rois match the
+    unmasked kernel and the XLA formulation exactly. The gradient
+    comparison masks invalid rois in the loss — the variant's contract
+    (objective.py masks every roi-dependent loss term by roi_valid)."""
+    from frcnn_tpu.ops.pallas_roi_pool import pallas_adaptive_max_pool_valid
+
+    rng = np.random.default_rng(11)
+    B, H, W, C = 2, 11, 15, 128
+    fm = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    rects = np.asarray(
+        [
+            [[0, 0, 9, 8], [2, 1, 13, 9], [4, 4, 5, 5], [0, 0, 15, 11]],
+            [[1, 1, 14, 10], [3, 2, 8, 7], [7, 3, 12, 11], [0, 2, 3, 9]],
+        ],
+        np.float32,
+    )
+    valid = np.asarray([[1, 0, 1, 0], [0, 1, 1, 1]], np.int32)
+
+    pooled_m = np.asarray(
+        pallas_adaptive_max_pool_valid(
+            jnp.asarray(fm), jnp.asarray(rects), jnp.asarray(valid), 3, 3, True
+        )
+    )
+    pooled_u = np.asarray(
+        pallas_adaptive_max_pool(jnp.asarray(fm), jnp.asarray(rects), 3, 3, True)
+    )
+    for b in range(B):
+        for r in range(valid.shape[1]):
+            if valid[b, r]:
+                np.testing.assert_array_equal(pooled_m[b, r], pooled_u[b, r])
+            else:
+                assert np.all(pooled_m[b, r] == 0.0)
+
+    vmask = jnp.asarray(valid, jnp.float32)[:, :, None, None, None]
+
+    def f_masked(x):
+        p = pallas_adaptive_max_pool_valid(
+            x, jnp.asarray(rects), jnp.asarray(valid), 3, 3, True
+        )
+        return jnp.sum((p * vmask) ** 2)
+
+    def f_xla(x):
+        p = jax.vmap(lambda f, r: adaptive_max_pool(f, r, 3, 3))(
+            x, jnp.asarray(rects)
+        )
+        return jnp.sum((p * vmask) ** 2)
+
+    g1 = np.asarray(jax.grad(f_masked)(jnp.asarray(fm)))
+    g2 = np.asarray(jax.grad(f_xla)(jnp.asarray(fm)))
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
