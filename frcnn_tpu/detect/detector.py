@@ -145,11 +145,20 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
             boxes_b, scores_b, valid_b
         )
 
-    def batched_pool(fm_b, rects_b):
+    def batched_pool(fm_b, rects_b, valid_b):
         if use_pallas:
-            from frcnn_tpu.ops.pallas_roi_pool import pallas_adaptive_max_pool
+            # per-roi skip of padded NMS slots (zero cotangent-free fwd
+            # analog: every consumer masks by prop_valid, so their pooled
+            # rows are dead). Worst-case scenes (all D survivors valid,
+            # the bench's stress mode) are unaffected; sparse real scenes
+            # pool only what stage-1 NMS actually kept.
+            from frcnn_tpu.ops.pallas_roi_pool import (
+                pallas_adaptive_max_pool_valid,
+            )
 
-            return pallas_adaptive_max_pool(fm_b, rects_b, kh, kw, interpret)
+            return pallas_adaptive_max_pool_valid(
+                fm_b, rects_b, valid_b, kh, kw, interpret
+            )
         return jax.vmap(lambda f, r: adaptive_max_pool(f, r, kh, kw))(
             fm_b, rects_b
         )
@@ -267,7 +276,7 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
             fm_loc.input_to_feature_rect_jax(prop_boxes),
             fw[:, None].astype(jnp.float32), fh[:, None].astype(jnp.float32),
         )
-        pooled = batched_pool(fm, fr).reshape(fm.shape[0], D, -1)
+        pooled = batched_pool(fm, fr, prop_valid).reshape(fm.shape[0], D, -1)
 
         if stop_after == "pool":
             return _cut_sum(pooled)
