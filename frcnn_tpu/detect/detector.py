@@ -311,12 +311,19 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
         f_prop = jnp.take_along_axis(prop_boxes, f_src[:, :, None], axis=1)
         f_fg = jnp.take_along_axis(prop_score, f_src, axis=1)
 
+        # Padded output slots gather row 0 (f_src clamps -1 -> 0), whose
+        # contents depend on the kernel implementation (the Pallas pool
+        # zero-fills invalid rois, the XLA path pools garbage windows).
+        # Zero every invalid row so the padded region is deterministic and
+        # implementation-independent — parity tests may then compare whole
+        # arrays. Costs a handful of fused selects on [B, D(,4)] tensors.
+        vb = f_valid[:, :, None]
         return DetectionResult(
-            boxes=f_boxes,
-            proposal_boxes=f_prop,
-            classes=f_cls.astype(jnp.int32),
-            confidence=f_conf,
-            fg_score=f_fg,
+            boxes=jnp.where(vb, f_boxes, 0.0),
+            proposal_boxes=jnp.where(vb, f_prop, 0.0),
+            classes=jnp.where(f_valid, f_cls, 0).astype(jnp.int32),
+            confidence=jnp.where(f_valid, f_conf, 0.0),
+            fg_score=jnp.where(f_valid, f_fg, 0.0),
             valid=f_valid,
         )
 

@@ -74,10 +74,31 @@ def test_quant_adapter_in_detector(setup):
     assert out.boxes.shape[0] == 1  # runs end to end
 
 
+def _force_fg_qparams(qparams, fg_bias=8.0):
+    """Quantized analog of tests/test_detector.py::_force_fg_params: zero
+    the int8 anchor-head weights and put the fg bias in the (fp32) bias so
+    every cell passes the 0.95 gate — real proposals flow through NMS,
+    pool, and cnet instead of the whole output being dead padding."""
+    q = jax.tree.map(lambda x: x, qparams)
+    for ai in range(4):
+        name = f"anchor{ai}_out"
+        b = np.zeros(18, np.float32)
+        for j in range(3):
+            b[6 * j] = fg_bias
+        q[name] = {
+            "w_int8": jnp.zeros_like(qparams[name]["w_int8"]),
+            "scale": qparams[name]["scale"],
+            "bias": jnp.asarray(b),
+        }
+    return q
+
+
 def test_quant_plus_pallas_detect_matches_quant_xla(setup):
     """The combined serving config (int8 backbone + Pallas kernels) must
     match int8 + XLA formulations exactly — Pallas swaps only the NMS/pool
-    implementations, not semantics."""
+    implementations, not semantics. Anchor heads are biased to force real
+    proposals (an untrained net yields zero valid detections, which made an
+    earlier version of this test compare only dead padding)."""
     cfg, pnet, params, qparams = setup
     from frcnn_tpu.detect.detector import build_detect_fn
     from frcnn_tpu.geometry.anchors import AnchorGenerator
@@ -86,7 +107,16 @@ def test_quant_plus_pallas_detect_matches_quant_xla(setup):
     gen = AnchorGenerator(cfg)
     _, cnet = create_models(cfg)
     _, stats = init_params(cfg, jax.random.PRNGKey(0))
-    adapter = QuantizedPNetAdapter(cfg.model, qparams, act_dtype=jnp.float32)
+    adapter = QuantizedPNetAdapter(
+        cfg.model, _force_fg_qparams(qparams), act_dtype=jnp.float32
+    )
+    # Bias the class head toward class 0 so the conf>0.2 / non-background
+    # gates stay open (a random-init cnet can argmax background for every
+    # row, which would empty the output again).
+    params = jax.tree.map(lambda x: x, params)
+    cb = np.zeros(cfg.class_count + 1, np.float32)
+    cb[0] = 4.0
+    params["cnet"]["cls_head"]["bias"] = jnp.asarray(cb)
     H, W = cfg.shapes.image_hw
     rng = np.random.default_rng(2)
     imgs = jnp.asarray(rng.normal(0.3, 0.2, (1, H, W, 3)).astype(np.float32))
@@ -95,9 +125,18 @@ def test_quant_plus_pallas_detect_matches_quant_xla(setup):
     o_x = build_detect_fn(cfg, gen, adapter, cnet)(params, stats, imgs, hw)
     cfg_k = cfg.replace(pallas_mode="interpret")
     o_k = build_detect_fn(cfg_k, gen, adapter, cnet)(params, stats, imgs, hw)
-    np.testing.assert_array_equal(np.asarray(o_x.valid), np.asarray(o_k.valid))
+    v_x = np.asarray(o_x.valid)
+    np.testing.assert_array_equal(v_x, np.asarray(o_k.valid))
+    assert v_x.sum() >= 1, "vacuous parity test: no valid detections"
     np.testing.assert_allclose(
         np.asarray(o_x.boxes), np.asarray(o_k.boxes), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o_x.classes), np.asarray(o_k.classes)
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_x.confidence), np.asarray(o_k.confidence),
+        rtol=1e-5, atol=1e-6,
     )
 
 
