@@ -251,6 +251,12 @@ class Config:
     # mode, for CPU testing of the kernel path).
     pallas_mode: str = "off"
 
+    # Final-stage confidence gate: keep detections with
+    # exp(class logprob) > detect_confidence (``Detector.lua:115`` hardcodes
+    # 0.2). Configurable so the gate's recall sensitivity can be swept
+    # (scripts/sweep_conf_gate.py); 0.2 is reference-parity.
+    detect_confidence: float = 0.2
+
     # Serving input layout: 'nhwc' (images [B,H,W,3]) or 's2d' (host-packed
     # space-to-depth pair (lum4 [B,4,Hc,Wc], chroma [B,Hc,8,Wc]),
     # ops/pallas_block0.py::pack_s2d) — normalization runs on the planes

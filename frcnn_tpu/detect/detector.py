@@ -45,7 +45,9 @@ from frcnn_tpu.ops.roi_pool import adaptive_max_pool, prepare_roi_rects
 
 FG_THRESHOLD = 0.95       # P(fg) cutoff (Detector.lua:54)
 PROPOSAL_NMS_IOU = 0.25   # Detector.lua:81
-CONFIDENCE_THRESHOLD = 0.2  # exp(logprob) cutoff (Detector.lua:115)
+CONFIDENCE_THRESHOLD = 0.2  # exp(logprob) cutoff (Detector.lua:115); the
+# per-config gate is Config.detect_confidence (this module constant is its
+# reference-parity default)
 CLASS_NMS_IOU = 0.1       # Detector.lua:133
 
 
@@ -121,6 +123,7 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
     D = s.max_detections
     fm_loc = gen.fm_localizer
     bg = cfg.class_count
+    conf_gate = getattr(cfg, "detect_confidence", CONFIDENCE_THRESHOLD)
     use_pallas = cfg.pallas_mode in ("on", "interpret")
     interpret = cfg.pallas_mode == "interpret"
     s2d = getattr(cfg, "input_layout", "nhwc") == "s2d"
@@ -291,7 +294,7 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
         refined = B.decode(prop_boxes, creg)        # r2 = anchorToInput(r, reg)
         cls = jnp.argmax(clogp, axis=-1)            # [B, D]
         conf = jnp.exp(jnp.max(clogp, axis=-1))
-        accept = prop_valid & (cls != bg) & (conf > CONFIDENCE_THRESHOLD)
+        accept = prop_valid & (cls != bg) & (conf > conf_gate)
 
         # per-class NMS via the coordinate-offset trick, batched
         span = (

@@ -79,9 +79,13 @@ def compute_map(detections: List[dict], ground_truth: List[dict],
     return {"mAP": mAP, "per_class": aps}
 
 
-def evaluate_map(cfg, detector, batch_iterator, max_images: int = 200,
-                 iou_threshold: float = 0.5, batch: int = 8) -> Dict:
-    """Run the detector over validation images and compute mAP."""
+def collect_detections(detector, batch_iterator, max_images: int = 200,
+                       batch: int = 8):
+    """Run the detector over validation images; return the raw
+    ``(detections, gts, num_images)`` lists (inputs of :func:`compute_map`).
+    Exposed separately so post-hoc analyses (e.g. the confidence-gate
+    sweep in ``scripts/sweep_conf_gate.py``) can re-score one detector
+    pass many ways without re-running the device program."""
     detections, gts = [], []
     done = 0
     img_id = 0
@@ -116,6 +120,38 @@ def evaluate_map(cfg, detector, batch_iterator, max_images: int = 200,
                 )
             img_id += 1
         done += len(rois_list)
+    return detections, gts, img_id
+
+
+def matched_recall(detections: List[dict], ground_truth: List[dict],
+                   iou_threshold: float = 0.5) -> float:
+    """Fraction of GT boxes matched (greedy, score-ordered, class-aware) by
+    any detection at the IoU threshold — the recall component the
+    reference's conf>0.2 gate (``Detector.lua:115``) trades off."""
+    if not ground_truth:
+        return float("nan")
+    matched = set()
+    by_image: Dict = {}
+    for gi, g in enumerate(ground_truth):
+        by_image.setdefault((g["image"], g["class"]), []).append(gi)
+    for d in sorted(detections, key=lambda d: -d["score"]):
+        best, best_gi = 0.0, -1
+        for gi in by_image.get((d["image"], d["class"]), []):
+            if gi in matched:
+                continue
+            v = _iou(d["box"], ground_truth[gi]["box"])
+            if v > best:
+                best, best_gi = v, gi
+        if best >= iou_threshold and best_gi >= 0:
+            matched.add(best_gi)
+    return len(matched) / len(ground_truth)
+
+
+def evaluate_map(cfg, detector, batch_iterator, max_images: int = 200,
+                 iou_threshold: float = 0.5, batch: int = 8) -> Dict:
+    """Run the detector over validation images and compute mAP."""
+    detections, gts, img_id = collect_detections(detector, batch_iterator,
+                                                 max_images, batch)
     result = compute_map(detections, gts, cfg.class_count, iou_threshold)
     result["num_images"] = img_id
     result["num_detections"] = len(detections)

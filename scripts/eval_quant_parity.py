@@ -56,7 +56,7 @@ def main():
     from frcnn_tpu.utils.serialization import load_checkpoint
     from scripts.train_synthetic_eval import SCALES
 
-    img_w, img_h, box_lo, box_hi, n_classes, cfg_fn = SCALES[args.scale]
+    img_w, img_h, box_lo, box_hi, n_classes, cfg_fn, _maker = SCALES[args.scale]
     data_dir = os.path.join(args.run, "dataset")
     manifest = os.path.join(data_dir, "manifest.json")
     cfg = cfg_fn(n_classes).replace(examples_base_path=data_dir)

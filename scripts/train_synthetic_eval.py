@@ -82,6 +82,182 @@ def make_dataset(out_dir: str, n_images: int, img_w: int, img_h: int,
     return csv
 
 
+def _bundled_photos():
+    """Real photographs shipped inside installed packages (this box has no
+    network egress, so these are the only true camera images available).
+    Returns a list of RGB uint8 arrays; empty if none are installed."""
+    import glob
+    from PIL import Image
+
+    candidates = []
+    try:
+        import matplotlib
+
+        candidates += glob.glob(
+            os.path.join(matplotlib.get_data_path(), "sample_data", "*.jpg"))
+    except ImportError:
+        pass
+    try:
+        import sklearn.datasets
+
+        candidates += glob.glob(os.path.join(
+            os.path.dirname(sklearn.datasets.__file__), "images", "*.jpg"))
+    except ImportError:
+        pass
+    try:
+        import pygame
+
+        pg = os.path.dirname(pygame.__file__)
+        candidates += glob.glob(
+            os.path.join(pg, "docs", "generated", "_images", "*.jpg"))
+        candidates += glob.glob(os.path.join(pg, "examples", "data", "*.jpg"))
+    except ImportError:
+        pass
+    photos = []
+    for p in sorted(candidates):
+        try:
+            im = Image.open(p).convert("RGB")
+        except Exception:
+            continue
+        if im.width >= 200 and im.height >= 150:   # skip tiny icons
+            photos.append(np.asarray(im))
+    return photos
+
+
+def _draw_brick(img, rng, x0, y0, bw, bh, color):
+    """Composite one shaded toy-brick onto ``img`` in place: drop shadow,
+    directional-gradient body, lighter top face, studs, sensor noise."""
+    h, w = img.shape[:2]
+    # drop shadow (down-right, multiplied into whatever is already there)
+    sx0, sy0 = min(x0 + 6, w), min(y0 + 7, h)
+    sx1, sy1 = min(x0 + bw + 9, w), min(y0 + bh + 10, h)
+    if sx1 > sx0 and sy1 > sy0:
+        sh = img[sy0:sy1, sx0:sx1].astype(np.float32)
+        img[sy0:sy1, sx0:sx1] = (sh * 0.62).astype(np.uint8)
+    body = np.broadcast_to(
+        np.asarray(color, np.float32), (bh, bw, 3)).copy()
+    # directional illumination gradient
+    yy, xx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi)
+    g = (np.cos(ang) * xx / max(bw, 1) + np.sin(ang) * yy / max(bh, 1))
+    g = (g - g.min()) / max(g.max() - g.min(), 1e-6)
+    body *= (0.62 + 0.43 * g)[:, :, None]
+    # lighter top face strip (fakes the 3D top plane)
+    top_h = max(2, int(bh * rng.uniform(0.12, 0.22)))
+    body[:top_h] = np.minimum(body[:top_h] * 1.45 + 18, 255)
+    # studs on the top face
+    n_studs = max(1, bw // 44)
+    r = max(2, int(min(bw, bh) * 0.10))
+    cy = top_h // 2
+    for k in range(n_studs):
+        cx = int((k + 0.5) * bw / n_studs)
+        y_lo, y_hi = max(cy - r, 0), min(cy + r, bh)
+        x_lo, x_hi = max(cx - r, 0), min(cx + r, bw)
+        if y_hi > y_lo and x_hi > x_lo:
+            dy = np.arange(y_lo, y_hi)[:, None] - cy
+            dx = np.arange(x_lo, x_hi)[None, :] - cx
+            disk = (dy * dy + dx * dx) <= r * r
+            patch = body[y_lo:y_hi, x_lo:x_hi]
+            patch[disk] = np.minimum(patch[disk] * 1.25 + 25, 255)
+    # darker 1px rim
+    body[0], body[-1] = body[0] * 0.55, body[-1] * 0.55
+    body[:, 0], body[:, -1] = body[:, 0] * 0.55, body[:, -1] * 0.55
+    body += rng.normal(0, 6, body.shape)
+    img[y0:y0 + bh, x0:x0 + bw] = body.clip(0, 255).astype(np.uint8)
+
+
+def make_photo_dataset(out_dir: str, n_images: int, img_w: int, img_h: int,
+                       n_classes: int, box_lo: int, box_hi: int,
+                       seed: int = 0, max_boxes: int = 4,
+                       n_corrupt: int = 2):
+    """Photo-composited scenes: shaded toy bricks (color = class, gradient
+    illumination, top face + studs, drop shadows, partial occlusion) pasted
+    over crops of REAL photographs bundled in installed packages, then
+    degraded like a camera pipeline (blur, sensor noise, JPEG re-encode at
+    random quality). This is the closest a zero-egress box gets to the
+    reference's real camera images (``create-duplo-traindata.lua``):
+    cluttered textured backgrounds, compression artifacts, and a couple of
+    deliberately corrupt files to exercise the decode-skip path."""
+    from PIL import Image, ImageFilter
+
+    backgrounds = _bundled_photos()
+    rng = np.random.default_rng(seed)
+    rows = []
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_images):
+        if backgrounds:
+            bg = backgrounds[int(rng.integers(0, len(backgrounds)))]
+            bh0, bw0 = bg.shape[:2]
+            # random crop with the target aspect, then resize
+            frac = rng.uniform(0.5, 1.0)
+            cw = max(int(bw0 * frac), 64)
+            ch = max(min(int(cw * img_h / img_w), bh0), 48)
+            cw = min(int(ch * img_w / img_h), bw0)
+            cx = int(rng.integers(0, bw0 - cw + 1))
+            cy = int(rng.integers(0, bh0 - ch + 1))
+            crop = Image.fromarray(bg[cy:cy + ch, cx:cx + cw])
+            img = np.asarray(
+                crop.resize((img_w, img_h), Image.BILINEAR), np.float32)
+            if rng.random() < 0.5:
+                img = img[:, ::-1]
+            img *= rng.uniform(0.55, 1.05)        # global illumination
+            img += rng.normal(0, 10, 3)           # color cast
+            img = img.clip(0, 255).astype(np.uint8)
+        else:       # no packages with photos installed: textured fallback
+            base = rng.integers(30, 120, size=(img_h // 8, img_w // 8, 3))
+            img = np.asarray(Image.fromarray(base.astype(np.uint8)).resize(
+                (img_w, img_h), Image.BILINEAR))
+        placed = []
+        for _ in range(int(rng.integers(1, max_boxes + 1))):
+            ci = int(rng.integers(0, n_classes))
+            bw = int(rng.integers(box_lo, box_hi))
+            bh = int(rng.integers(box_lo, box_hi))
+            for _try in range(20):
+                x0 = int(rng.integers(0, img_w - bw))
+                y0 = int(rng.integers(0, img_h - bh))
+                cand = (x0, y0, x0 + bw, y0 + bh)
+                # partial occlusion allowed: reject only IoU >= 0.25
+                ok = True
+                for p in placed:
+                    ix = max(0, min(cand[2], p[2]) - max(cand[0], p[0]))
+                    iy = max(0, min(cand[3], p[3]) - max(cand[1], p[1]))
+                    inter = ix * iy
+                    union = bw * bh + (p[2] - p[0]) * (p[3] - p[1]) - inter
+                    if inter / union >= 0.25:
+                        ok = False
+                        break
+                if ok:
+                    break
+            else:
+                continue
+            placed.append(cand)
+            _draw_brick(img, rng, x0, y0, bw, bh, CLASS_COLORS[ci])
+            rows.append(
+                f'"img{i:04d}.jpg", {x0}, {y0}, {x0 + bw}, {y0 + bh}, '
+                f'"{CLASS_NAMES[ci]}", {ci}, "M", 0'
+            )
+        # camera-pipeline degradation
+        pim = Image.fromarray(img)
+        blur = rng.uniform(0.0, 1.0)
+        if blur > 0.25:
+            pim = pim.filter(ImageFilter.GaussianBlur(blur))
+        img = np.asarray(pim, np.float32)
+        img += rng.normal(0, rng.uniform(1.0, 5.0), img.shape)
+        Image.fromarray(img.clip(0, 255).astype(np.uint8)).save(
+            os.path.join(out_dir, f"img{i:04d}.jpg"),
+            quality=int(rng.integers(55, 95)),
+        )
+    # corrupt a few files that stay referenced in the CSV — the pipeline
+    # must skip-and-log them (BatchIterator pcall analog)
+    for i in range(min(n_corrupt, n_images)):
+        with open(os.path.join(out_dir, f"img{i:04d}.jpg"), "wb") as f:
+            f.write(b"\xff\xd8\xffnot-actually-a-jpeg")
+    csv = os.path.join(out_dir, "boxes.csv")
+    with open(csv, "w") as f:
+        f.write("\n".join(rows))
+    return csv
+
+
 def tiny_cfg(n_classes: int):
     from frcnn_tpu.config import (
         AnchorNetSpec, AugmentationConfig, ClassLayerSpec, Config, LayerSpec,
@@ -141,10 +317,18 @@ def duplo_scale_cfg(n_classes: int):
 
 
 SCALES = {
-    # (img_w, img_h, box_lo, box_hi, n_classes, cfg builder)
-    "tiny": (200, 160, 48, 80, 3, tiny_cfg),
-    "duplo": (800, 450, 48, 220, 6, duplo_scale_cfg),
+    # (img_w, img_h, box_lo, box_hi, n_classes, cfg builder, scene maker)
+    "tiny": (200, 160, 48, 80, 3, tiny_cfg, make_dataset),
+    "duplo": (800, 450, 48, 220, 6, duplo_scale_cfg, make_dataset),
+    # real-photo backgrounds + shaded bricks + JPEG degradation, at the
+    # full duplo scale (see make_photo_dataset)
+    "photo": (800, 450, 48, 220, 6, duplo_scale_cfg, make_photo_dataset),
 }
+
+
+def scale_spec(name):
+    """(img_w, img_h, box_lo, box_hi, n_classes, cfg_fn, maker)."""
+    return SCALES[name]
 
 
 def main():
@@ -163,6 +347,9 @@ def main():
                     "chunking amortizes it")
     ap.add_argument("--snapshot-every", type=int, default=160,
                     help="steps between partial snapshots (resume support)")
+    ap.add_argument("--named-snapshot-every", type=int, default=0,
+                    help="if >0, keep a step-named copy of the snapshot "
+                    "every N steps (accuracy-curve checkpoints)")
     args = ap.parse_args()
 
     import jax
@@ -183,11 +370,11 @@ def main():
     from frcnn_tpu.train.trainer import Trainer
     from frcnn_tpu.utils.drawing import draw_rectangle, save_image
 
-    img_w, img_h, box_lo, box_hi, n_classes, cfg_fn = SCALES[args.scale]
+    img_w, img_h, box_lo, box_hi, n_classes, cfg_fn, maker = SCALES[args.scale]
     os.makedirs(args.out, exist_ok=True)
     data_dir = os.path.join(args.out, "dataset")
-    csv = make_dataset(data_dir, args.images, img_w, img_h, n_classes,
-                       box_lo, box_hi, seed=args.seed)
+    csv = maker(data_dir, args.images, img_w, img_h, n_classes,
+                box_lo, box_hi, seed=args.seed)
     manifest_path = os.path.join(data_dir, "manifest.json")
     create_duplo_manifest(f"synthetic-{args.scale}", csv, None, manifest_path,
                           validation_size=0.25, seed=args.seed)
@@ -231,6 +418,14 @@ def main():
         if tr.step - last_snap >= args.snapshot_every:
             tr.save_snapshot(partial)
             last_snap = tr.step
+        if (args.named_snapshot_every
+                and tr.step % args.named_snapshot_every < k):
+            named = os.path.join(
+                args.out,
+                f"step_{tr.step - tr.step % args.named_snapshot_every:06d}"
+                ".ckpt")
+            if not os.path.exists(named):
+                tr.save_snapshot(named)
     pre.close()
     # the reference's "loss" series is pcls + preg (objective.lua:216);
     # rebuilt from stats so it survives a resume
