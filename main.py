@@ -263,6 +263,47 @@ def cmd_import_t7(args):
     )
 
 
+def cmd_import_t7_model(args):
+    """Convert a reference network snapshot (the flat weight vector written
+    by ``utilities.lua:126-134``) into one of our checkpoints."""
+    import jax
+
+    from frcnn_tpu.data.t7_model import load_reference_model
+    from frcnn_tpu.models.factory import init_params
+    from frcnn_tpu.utils.serialization import save_checkpoint
+
+    _require_file(args.t7, "t7 model snapshot")
+    cfg = build_config(args)
+    template, batch_stats = init_params(cfg, jax.random.PRNGKey(cfg.seed))
+    params, meta = load_reference_model(args.t7, cfg, template,
+                                        order=args.order)
+    save_checkpoint(args.out, params=params, batch_stats=batch_stats,
+                    step=0, options={"imported_from": args.t7,
+                                     "order": meta["order"]})
+    log.info(
+        "Imported '%s' (order=%s, diagnosis=%s) -> %s. NOTE: the reference "
+        "format carries no BatchNorm running stats (torch parameters() "
+        "excludes them; its own restore resets them too) — cnet batch "
+        "stats are freshly initialized; fine-tune or run training batches "
+        "to re-estimate.",
+        args.t7, meta["order"], meta["order_diagnosis"], args.out,
+    )
+
+
+def cmd_export_t7_model(args):
+    """Export one of our checkpoints as a reference-loadable .t7 snapshot
+    (flat weight vector, ``load_model`` in ``main.lua:80-101`` format)."""
+    from frcnn_tpu.data.t7_model import save_reference_model
+    from frcnn_tpu.utils.serialization import load_checkpoint
+
+    _require_file(args.restore, "checkpoint")
+    cfg = build_config(args)
+    ckpt = load_checkpoint(args.restore)
+    save_reference_model(args.out, ckpt["params"], cfg, order=args.order)
+    log.info("Exported %s -> %s (order=%s)", args.restore, args.out,
+             args.order)
+
+
 def cmd_import_imagenet(args):
     from frcnn_tpu.data.importers import create_imagenet_manifest
 
@@ -352,6 +393,28 @@ def main(argv=None):
     sp.add_argument("--t7", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_import_t7)
+
+    sp = sub.add_parser(
+        "import-t7-model",
+        help="reference network snapshot (flat weights) -> our checkpoint",
+    )
+    common(sp, train_required=False)
+    sp.add_argument("--t7", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--order", default="auto",
+                    choices=["auto", "blocks_first", "interleaved"],
+                    help="pnet gModule parameter order (see data/t7_model.py)")
+    sp.set_defaults(fn=cmd_import_t7_model)
+
+    sp = sub.add_parser(
+        "export-t7-model",
+        help="our checkpoint -> reference-loadable .t7 snapshot",
+    )
+    common(sp, train_required=False)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--order", default="blocks_first",
+                    choices=["blocks_first", "interleaved"])
+    sp.set_defaults(fn=cmd_export_t7_model)
 
     sp = sub.add_parser("import-imagenet", help="ILSVRC2015 DET XML -> manifest")
     sp.add_argument("--base-dir", required=True)

@@ -80,6 +80,33 @@ def test_train_chunked_loop(workdir, monkeypatch):
     assert [r["step"] for r in recs] == [1, 2, 3, 4, 5]
 
 
+def test_t7_model_export_import_cycle(workdir, monkeypatch):
+    """export-t7-model writes a reference-format snapshot; import-t7-model
+    converts it back into a checkpoint whose params are bit-identical
+    (depends on the checkpoint test_import_and_train_and_demo produced)."""
+    import jax
+
+    from frcnn_tpu.utils.serialization import load_checkpoint
+
+    tmp, cfg_path = workdir
+    monkeypatch.chdir(tmp)
+    src = str(tmp / "cli_test_000002.ckpt")
+    assert os.path.exists(src)
+    cli.main([
+        "export-t7-model", "--cfg", cfg_path, "--restore", src,
+        "--out", str(tmp / "exported.t7"),
+    ])
+    cli.main([
+        "import-t7-model", "--cfg", cfg_path, "--t7", str(tmp / "exported.t7"),
+        "--out", str(tmp / "imported.ckpt"),
+    ])
+    a = load_checkpoint(src)
+    b = load_checkpoint(str(tmp / "imported.ckpt"))
+    for x, y in zip(jax.tree.leaves(a["params"]), jax.tree.leaves(b["params"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert b["options"]["order"] == "blocks_first"
+
+
 def test_evaluate_runs(workdir, monkeypatch, capsys):
     tmp, cfg_path = workdir
     monkeypatch.chdir(tmp)
