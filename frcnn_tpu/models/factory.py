@@ -25,7 +25,13 @@ def cnet_input_dim(cfg: Config) -> int:
 
 def create_models(cfg: Config) -> Tuple[ProposalNet, ClassificationNet]:
     dt = compute_dtype(cfg)
-    pnet = ProposalNet(model_cfg=cfg.model, dtype=dt)
+    # pallas_mode also selects the pool BACKWARD kernel (first-max routing
+    # in VMEM, ops/pallas_pool_bwd.py). Forward programs are identical, so
+    # detect-only consumers are unaffected by the choice.
+    pool_vjp = {"on": "pallas", "interpret": "pallas_interpret"}.get(
+        cfg.pallas_mode, "xla"
+    )
+    pnet = ProposalNet(model_cfg=cfg.model, dtype=dt, pool_vjp=pool_vjp)
     cnet = ClassificationNet(
         model_cfg=cfg.model, num_classes_with_bg=cfg.num_classes_with_bg, dtype=dt
     )

@@ -17,6 +17,7 @@ init, biases zero (``model_utilities.lua:60-71``).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, List
 
 import jax.numpy as jnp
@@ -31,6 +32,12 @@ ANCHOR_CHANNELS = 3 * (2 + 4)  # 3 aspects x (2 cls + 4 reg) = 18
 class ProposalNet(nn.Module):
     model_cfg: ModelConfig
     dtype: Any = jnp.float32
+    # Backward implementation of the 2x2 ceil pools: 'xla' (SelectAndScatter
+    # autodiff) | 'pallas' | 'pallas_interpret' (ops/pallas_pool_bwd.py,
+    # first-max routing in VMEM — same forward values, same routed
+    # gradients, 8.3 -> ~3 ms of the batch-8 train step). Forward-only
+    # consumers (the detector) see identical programs either way.
+    pool_vjp: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False, block0_out=None):
@@ -42,6 +49,17 @@ class ProposalNet(nn.Module):
         layers are skipped and the backbone continues from block 1. The
         skipped layers' params stay in the tree untouched."""
         cfg = self.model_cfg
+        if self.pool_vjp == "xla":
+            pool = ceil_max_pool_2x2
+        else:
+            from frcnn_tpu.ops.pallas_pool_bwd import (
+                ceil_max_pool_2x2_firstmax,
+            )
+
+            pool = functools.partial(
+                ceil_max_pool_2x2_firstmax,
+                interpret=self.pool_vjp == "pallas_interpret",
+            )
         block_outputs: List = []
         if block0_out is not None:
             x = block0_out.astype(self.dtype)
@@ -72,7 +90,7 @@ class ProposalNet(nn.Module):
                         deterministic=not train,
                         name=f"block{bi}_spatialdrop",
                     )(x)
-            x = ceil_max_pool_2x2(x)
+            x = pool(x)
             block_outputs.append(x)
 
         anchor_maps = []

@@ -169,7 +169,7 @@ def _draw_brick(img, rng, x0, y0, bw, bh, color):
 def make_photo_dataset(out_dir: str, n_images: int, img_w: int, img_h: int,
                        n_classes: int, box_lo: int, box_hi: int,
                        seed: int = 0, max_boxes: int = 4,
-                       n_corrupt: int = 2):
+                       n_corrupt: int = 2, mixed_orientation: bool = False):
     """Photo-composited scenes: shaded toy bricks (color = class, gradient
     illumination, top face + studs, drop shadows, partial occlusion) pasted
     over crops of REAL photographs bundled in installed packages, then
@@ -184,7 +184,12 @@ def make_photo_dataset(out_dir: str, n_images: int, img_w: int, img_h: int,
     rng = np.random.default_rng(seed)
     rows = []
     os.makedirs(out_dir, exist_ok=True)
+    base_wh = (img_w, img_h)
     for i in range(n_images):
+        if mixed_orientation:
+            # portrait/landscape mix, like ImageNet DET photos — exercises
+            # the dual compile buckets (config.py::imagenet_config)
+            img_w, img_h = base_wh if rng.random() < 0.5 else base_wh[::-1]
         if backgrounds:
             bg = backgrounds[int(rng.integers(0, len(backgrounds)))]
             bh0, bw0 = bg.shape[:2]
@@ -316,6 +321,26 @@ def duplo_scale_cfg(n_classes: int):
     )
 
 
+def imagenet_scale_cfg(n_classes: int):
+    """The reference imagenet experiment's envelope (``config/imagenet.lua``):
+    vgg_large, 480 px smaller side, dual (480x1000)+(1000x480) compile
+    buckets, thresholds 0.6/0.25 — with the class count set by the
+    synthetic dataset (class count is dataset-driven everywhere; the
+    envelope/buckets/scales/model are what this scale exercises)."""
+    from frcnn_tpu.config import imagenet_config
+
+    return imagenet_config(
+        class_count=n_classes, learning_rate=1e-4, uint8_wire=True
+    )
+
+
+def _make_imagenet_dataset(out_dir, n_images, img_w, img_h, n_classes,
+                           box_lo, box_hi, seed=0):
+    return make_photo_dataset(out_dir, n_images, img_w, img_h, n_classes,
+                              box_lo, box_hi, seed=seed,
+                              mixed_orientation=True)
+
+
 SCALES = {
     # (img_w, img_h, box_lo, box_hi, n_classes, cfg builder, scene maker)
     "tiny": (200, 160, 48, 80, 3, tiny_cfg, make_dataset),
@@ -323,6 +348,10 @@ SCALES = {
     # real-photo backgrounds + shaded bricks + JPEG degradation, at the
     # full duplo scale (see make_photo_dataset)
     "photo": (800, 450, 48, 220, 6, duplo_scale_cfg, make_photo_dataset),
+    # vgg_large at the imagenet envelope, portrait+landscape mixed (dual
+    # compile buckets), photo backgrounds
+    "imagenet": (1000, 480, 60, 380, 6, imagenet_scale_cfg,
+                 _make_imagenet_dataset),
 }
 
 
@@ -395,17 +424,30 @@ def main():
 
     t0 = time.time()
     last_snap = tr.step
+    # Per-bucket chunk queues: with dual compile buckets (imagenet scale)
+    # consecutive batches alternate orientation, so chunking on the raw
+    # stream would flush to per-step dispatch almost always. Grouping by
+    # bucket keeps every full chunk homogeneous (one (bucket, k) program
+    # each) at the cost of reordering steps across buckets — the training
+    # stream is i.i.d. shuffled, so the trajectory remains a valid draw.
+    queues: dict = {}
     while tr.step < args.steps:
-        k = min(args.chunk, args.steps - tr.step)
-        if k == args.chunk and k > 1:
-            metrics = tr.run_chunk(
-                [pre.next_training_batch() for _ in range(k)])
+        b = pre.next_training_batch()
+        q = queues.setdefault(tuple(b.image.shape[1:3]), [])
+        q.append(b)
+        full = len(q) >= args.chunk
+        tail = args.steps - tr.step < 2 * args.chunk
+        if not (full or tail):
+            continue
+        k = min(len(q), args.steps - tr.step)
+        if full and k == args.chunk and args.chunk > 1:
+            metrics = tr.run_chunk(q[:k])
         else:
             # ragged tail: per-step dispatch — run_chunk would compile a
             # fresh (bucket, k) program (minutes on the remote service)
-            # for the last few steps of the run
-            metrics = [tr.run_step(pre.next_training_batch())
-                       for _ in range(k)]
+            # for every distinct length
+            metrics = [tr.run_step(x) for x in q[:k]]
+        del q[:k]
         m = metrics[-1]
         if tr.step % 25 < k or tr.step == k:
             print(
