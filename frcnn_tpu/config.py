@@ -261,9 +261,11 @@ class Config:
     # space-to-depth pair (lum4 [B,4,Hc,Wc], chroma [B,Hc,8,Wc]),
     # ops/pallas_block0.py::pack_s2d) — normalization runs on the planes
     # (phase-major luminance: zero relayouts) and the first conv block
-    # executes as the fused Pallas s2d kernel (5.8 -> 1.5 ms/batch16).
-    # Requires pallas_mode on/interpret, layers[0].conv_steps == 1 and an
-    # even-sized bucket. Inference only; training always uses NHWC.
+    # executes as a fused Pallas s2d kernel: ops/pallas_block0.py for
+    # 1-conv first blocks (vgg_small, 5.8 -> 1.5 ms/batch16),
+    # ops/pallas_block0_2conv.py for 2-conv first blocks (vgg_large).
+    # Requires pallas_mode on/interpret, layers[0].conv_steps in (1, 2)
+    # and an even-sized bucket. Inference only; training always uses NHWC.
     input_layout: str = "nhwc"
 
     @property
@@ -362,14 +364,15 @@ def serving_config(base: Config = None, **overrides) -> Config:
     # a portrait bucket's program is built lazily on the first portrait
     # batch, and an odd bucket would only fail then, mid-serving
     s2d_ok = (
-        (spec0.conv_steps, spec0.kH, spec0.kW, spec0.padH, spec0.padW)
-        == (1, 3, 3, 1, 1)
+        spec0.conv_steps in (1, 2)
+        and (spec0.kH, spec0.kW, spec0.padH, spec0.padW) == (3, 3, 1, 1)
         and all(h % 2 == 0 and w % 2 == 0
                 for h, w in cfg.shapes.buckets())
     )
-    # the fused s2d frontend covers a single-3x3 first block (vgg_small);
-    # other models (vgg_large: 2 convs in block 0) get the Pallas
-    # NMS/pool kernels without the s2d input layout
+    # the fused s2d frontend covers 3x3/1/1 first blocks with one conv
+    # (vgg_small, ops/pallas_block0.py) or two convs (vgg_large,
+    # ops/pallas_block0_2conv.py); anything else gets the Pallas NMS/pool
+    # kernels without the s2d input layout
     cfg = cfg.replace(pallas_mode="on",
                       input_layout="s2d" if s2d_ok else "nhwc")
     return cfg.replace(**overrides) if overrides else cfg

@@ -130,9 +130,10 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
     if s2d:
         spec0 = cfg.model.layers[0]
         assert use_pallas, "input_layout='s2d' needs pallas_mode on/interpret"
-        assert (spec0.conv_steps, spec0.kH, spec0.kW, spec0.padH,
-                spec0.padW) == (1, 3, 3, 1, 1), (
-            "fused s2d block0 requires a single 3x3/1/1 first conv"
+        assert spec0.conv_steps in (1, 2) and (
+            spec0.kH, spec0.kW, spec0.padH, spec0.padW
+        ) == (3, 3, 1, 1), (
+            "fused s2d block0 covers 1- or 2-conv 3x3/1/1 first blocks"
         )
         # the gen's bucket (not cfg.shapes.image_hw) is what this program
         # compiles for — portrait buckets must be even-sized too
@@ -198,11 +199,30 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                 p0["block0_conv0"]["kernel"], p0["block0_conv0"]["bias"]
             )
             cviews, lviews = views_from_s2d(lum4, chroma, out_dtype=cdt)
-            b0 = fused_block0(
-                cviews, lviews, wt, bias,
-                p0["block0_prelu0"]["slope"].reshape(()),
-                interpret=interpret, compute_dtype=cdt,
-            ).transpose(0, 1, 3, 2)
+            if spec0.conv_steps == 2:
+                # vgg_large-style 2-conv first block: the fused 2-conv
+                # kernel keeps BOTH full-resolution activations out of HBM
+                from frcnn_tpu.ops.pallas_block0_2conv import (
+                    block0_2conv_weights_jnp,
+                    fused_block0_2conv,
+                )
+
+                w1t = block0_2conv_weights_jnp(
+                    p0["block0_conv1"]["kernel"].astype(jnp.float32)
+                )
+                b0 = fused_block0_2conv(
+                    cviews, lviews, wt, bias,
+                    p0["block0_prelu0"]["slope"].reshape(()),
+                    w1t, p0["block0_conv1"]["bias"],
+                    p0["block0_prelu1"]["slope"].reshape(()),
+                    interpret=interpret, compute_dtype=cdt,
+                ).transpose(0, 1, 3, 2)
+            else:
+                b0 = fused_block0(
+                    cviews, lviews, wt, bias,
+                    p0["block0_prelu0"]["slope"].reshape(()),
+                    interpret=interpret, compute_dtype=cdt,
+                ).transpose(0, 1, 3, 2)
             if stop_after == "b0":
                 return _cut_sum(b0)
             anchor_maps, fm = pnet.apply(

@@ -1,0 +1,312 @@
+"""Fused TWO-conv first block: conv3x3(3->F) + PReLU + conv3x3(F->F) +
+PReLU + 2x2/2 max-pool in one Pallas pass (vgg_large's block 0,
+``models/vgg_large.lua:5-10`` — conv_steps=2 — built by ``ConvPoolBlock``,
+``models/model_utilities.lua:17-25``).
+
+Why: under XLA (int8 static-scale convs) this block costs 9.6 ms of the
+26.5 ms vgg_large detect at batch 16 @450x800 — 36% of the whole forward
+(docs/perf_ceiling.md). Two full-resolution [B,450,800,64] activations
+round-trip HBM (~737 MB each at bf16) and conv0's 3-channel contraction
+starves the MXU. The single-conv s2d kernel (ops/pallas_block0.py) fixes
+exactly this for vgg_small; this module generalizes it to 2-conv blocks so
+neither full-res activation ever exists in HBM.
+
+Decomposition (same s2d input planes as the 1-conv kernel):
+
+* conv0: the 64-row phase-matmul basis of ops/pallas_block0.py, but
+  keeping all four phase planes y0[p] = prelu0(conv0(x))[2i+qy, 2j+qx]
+  instead of max-reducing them (the pool happens after conv1 here).
+* conv1 + pool: for pooled output (i, j) and pool phase p=(ry, rx), the
+  3x3 tap (dy, dx) reads fine pixel (2i+ry+dy-1, 2j+rx+dx-1), i.e. phase
+  plane (qy, qx) at coarse offset (ay, ax) where 2*a+q = r+d-1. Over all
+  (ry, dy) only FOUR row-groups (ay, qy) occur — (-1,1),(0,0),(0,1),(1,0)
+  — and the same four column-groups (ax, qx). Per output row we build one
+  K-stacked tap scratch S[16*F, WS] (row-group-major x column-group) with
+  lane rolls into a zero-padded y0 buffer, and consume it with TWO MXU
+  matmuls [2F, 12F] x [12F, WS] — one per ry, reading the overlapping
+  768-row windows [0:12F] and [4F:16F]. Stacking both rx phases in M
+  makes M = 128 (the full MXU width; a per-phase formulation caps at
+  M=64 = 50%), K = 768 (fully fed); each matmul carries 3 zero weight
+  blocks (the column-group its rx never uses) -> 4/3 FLOP overhead at
+  ~full utilization, i.e. ~75% effective — vs the <=50% ceiling of any
+  direct 64-channel formulation (docs/perf_ceiling.md:60-74).
+* bias + PReLU + 4-phase max = the 2x2 pool (H, W even, so no ceil edge).
+
+Halo: conv1 at strip rows [s, s+tr) needs y0 rows [s-1, s+tr+1); conv0
+recomputes the two halo rows per strip (conv0 is ~5% of the block's
+FLOPs). Halo view rows arrive as single-row BlockSpecs with clamped index
+maps; the out-of-image rows (coarse -1 and Ho) are zeroed in-kernel —
+only their qy=1 / qy=0 phases are ever read and both are genuine conv1
+zero padding.
+
+Serving/inference only (no VJP): training keeps the XLA conv path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# (offset a, phase q) groups of 2*a + q = r + d - 1 for r in {0,1}, d in
+# {0,1,2}; identical for rows and columns. Order is ascending in r+d-1 so
+# the ry=0 matmul reads groups [0:3) and ry=1 reads [1:4).
+GROUPS = ((-1, 1), (0, 0), (0, 1), (1, 0))
+
+
+def _group_index(r, d):
+    a, q = divmod(r + d - 1, 2)  # Python floor divmod: -1 -> (-1, 1)
+    return GROUPS.index((a, q))
+
+
+def block0_2conv_weights(w1):
+    """HWIO [3, 3, F, F] conv1 weights -> W1T [2, 2F, 12F] numpy f32.
+
+    W1T[ry][rx*F + o, (g - ry)*4F... : row rx*F+o, col ((rgi - ry)*4 +
+    cgi)*F + c holds w1[dy, dx, c, o] for the (dy, dx) tap mapping to
+    row-group rgi / col-group cgi under phase (ry, rx). Groups a phase
+    never uses stay zero.
+    """
+    w1 = np.asarray(w1, np.float32)
+    kh, kw, cin, f = w1.shape
+    assert (kh, kw) == (3, 3) and cin == f, "2conv kernel expects 3x3 FxF"
+    out = np.zeros((2, 2 * f, 12 * f), np.float32)
+    for ry in range(2):
+        for rx in range(2):
+            for dy in range(3):
+                rgi = _group_index(ry, dy)
+                for dx in range(3):
+                    cgi = _group_index(rx, dx)
+                    g = (rgi - ry) * 4 + cgi
+                    out[ry, rx * f:(rx + 1) * f, g * f:(g + 1) * f] += (
+                        w1[dy, dx].T
+                    )
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _tap_map():
+    """Static 0/1 tensor T[ry, rx, g, dy, dx] marking which conv1 tap
+    lands in stack group g of phase (ry, rx)."""
+    T = np.zeros((2, 2, 12, 3, 3), np.float32)
+    for ry in range(2):
+        for rx in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    g = (_group_index(ry, dy) - ry) * 4 + _group_index(rx, dx)
+                    T[ry, rx, g, dy, dx] = 1.0
+    return T
+
+
+def block0_2conv_weights_jnp(w1):
+    """Traced :func:`block0_2conv_weights` for use under jit."""
+    f = w1.shape[-1]
+    T = jnp.asarray(_tap_map())
+    wt = jnp.einsum("rxgde,deco->rxogc", T, w1)
+    return wt.reshape(2, 2 * f, 12 * f)
+
+
+def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int):
+    (cm, ct, cb, lm, lt, lb) = (refs[0:4], refs[4:8], refs[8:12],
+                                refs[12:16], refs[16:20], refs[20:24])
+    wt0_ref, b0_ref, w1t_ref, b1_ref, slopes_ref = refs[24:29]
+    out_ref, P, Y, S = refs[29:33]
+    ws = P.shape[1] // (tr + 2)
+    t = pl.program_id(1)
+
+    # ---- conv0 for tr+2 coarse rows (strip + one halo row each side) ----
+    for g in range(4):
+        # basis rows 12..15 of each 16-group are padding; zero, not stale
+        P[16 * g + 12:16 * (g + 1), :] = jnp.zeros(
+            (4, (tr + 2) * ws), P.dtype
+        )
+    for r2 in range(tr + 2):
+        sl = slice(r2 * ws, r2 * ws + wo)
+        for g in range(4):
+            if r2 == 0:
+                crow, lrow = ct[g][0, 0], (lambda p: lt[g][0, p, 0, :])
+            elif r2 == tr + 1:
+                crow, lrow = cb[g][0, 0], (lambda p: lb[g][0, p, 0, :])
+            else:
+                crow = cm[g][0, r2 - 1]
+                lrow = (lambda p, r=r2 - 1: lm[g][0, p, r, :])
+            P[16 * g:16 * g + 8, sl] = crow
+            for p in range(4):
+                P[16 * g + 8 + p, sl] = lrow(p)
+    y = jax.lax.dot_general(
+        wt0_ref[:, :], P[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [4f, (tr+2)*ws]
+    y = y + b0_ref[:, :]
+    s0 = slopes_ref[0, 0]
+    y = jnp.where(y >= 0.0, y, s0 * y)
+
+    # ---- y0 buffer: data at lane offset 1, zero pad columns 0 / wo+1 ----
+    for r2 in range(tr + 2):
+        for p in range(4):
+            Y[r2, p * f:(p + 1) * f, 1:1 + wo] = (
+                y[p * f:(p + 1) * f, r2 * ws:r2 * ws + wo].astype(Y.dtype)
+            )
+        Y[r2, :, 0:1] = jnp.zeros((4 * f, 1), Y.dtype)
+        Y[r2, :, 1 + wo:2 + wo] = jnp.zeros((4 * f, 1), Y.dtype)
+
+    # out-of-image halo rows are conv1 zero padding (fine rows -1 and H)
+    @pl.when(t == 0)
+    def _():
+        Y[0] = jnp.zeros_like(Y[0])
+
+    @pl.when(t == nsteps - 1)
+    def _():
+        Y[tr + 1] = jnp.zeros_like(Y[tr + 1])
+
+    # ---- conv1 + PReLU + pool, one output row at a time ----
+    WS = Y.shape[2]
+    s1 = slopes_ref[0, 1]
+    for r in range(tr):
+        for rgi, (ay, qy) in enumerate(GROUPS):
+            row = r + 1 + ay
+            base = rgi * 4 * f
+            # col-group 0: (ax=-1, qx=1) -> phase 2qy+1, lane shift 0
+            S[base:base + f, :] = Y[row, (2 * qy + 1) * f:(2 * qy + 2) * f, :]
+            # col-groups 1,2: (ax=0, qx=0/1) -> adjacent phases, shift +1
+            S[base + f:base + 3 * f, :] = pltpu.roll(
+                Y[row, 2 * qy * f:(2 * qy + 2) * f, :], WS - 1, 1
+            )
+            # col-group 3: (ax=1, qx=0) -> phase 2qy, shift +2
+            S[base + 3 * f:base + 4 * f, :] = pltpu.roll(
+                Y[row, 2 * qy * f:(2 * qy + 1) * f, :], WS - 2, 1
+            )
+        m = None
+        for ry in range(2):
+            z = jax.lax.dot_general(
+                w1t_ref[ry], S[ry * 4 * f:ry * 4 * f + 12 * f, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [2f, WS]: rows [0:f] = phase (ry,0), [f:2f] = (ry,1)
+            z = z + b1_ref[:, :]
+            z = jnp.where(z >= 0.0, z, s1 * z)
+            zm = jnp.maximum(z[:f], z[f:])
+            m = zm if m is None else jnp.maximum(m, zm)
+        out_ref[0, r] = m[:, :wo].astype(out_ref.dtype)
+
+
+def _pick_tr(ho: int, cap: int = 10) -> int:
+    for tr in range(min(cap, ho), 0, -1):
+        if ho % tr == 0:
+            return tr
+    return 1
+
+
+def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
+                       slope1, out_dtype=None, tr: int = None,
+                       interpret: bool = False,
+                       compute_dtype=jnp.bfloat16):
+    """Run the fused 2-conv block0 kernel.
+
+    Args:
+      cviews / lviews: the four [B, Ho, 8, Wo] chroma and [B, 4, Ho, Wo]
+        luminance views (``ops.pallas_block0.views_from_s2d``).
+      wt0, bias0: conv0 on the 64-row patch basis
+        (``ops.pallas_block0.block0_weights``), [4F, 64] / [4F, 1].
+      slope0 / slope1: scalar PReLU slopes of the two convs.
+      w1t: [2, 2F, 12F] from :func:`block0_2conv_weights`.
+      bias1: conv1 bias [F].
+      tr: strip height (must divide Ho; default: largest divisor <= 10).
+    Returns [B, Ho, F, Wo] (channels-middle) in ``out_dtype``
+    (default ``compute_dtype``).
+    """
+    B, Ho, _, Wo = cviews[0].shape
+    f4 = wt0.shape[0]
+    f = f4 // 4
+    if out_dtype is None:
+        out_dtype = compute_dtype
+    if tr is None:
+        tr = _pick_tr(Ho)
+    assert Ho % tr == 0, f"strip height {tr} must divide Ho={Ho}"
+    nsteps = Ho // tr
+    ws = -(-(Wo + 2) // 128) * 128
+    kern = functools.partial(_kernel, tr=tr, f=f, wo=Wo, nsteps=nsteps)
+
+    cmain = pl.BlockSpec((1, tr, 8, Wo), lambda b, t: (b, t, 0, 0))
+    lmain = pl.BlockSpec((1, 4, tr, Wo), lambda b, t: (b, 0, t, 0))
+    # halo rows: single-row blocks -> block index == row index, so the
+    # clamped element-level maps are expressible. The clamped duplicates
+    # (t=0 top, t=last bottom) feed rows the kernel zero-masks.
+    ctop = pl.BlockSpec(
+        (1, 1, 8, Wo), lambda b, t: (b, jnp.maximum(t * tr - 1, 0), 0, 0)
+    )
+    cbot = pl.BlockSpec(
+        (1, 1, 8, Wo),
+        lambda b, t: (b, jnp.minimum((t + 1) * tr, Ho - 1), 0, 0),
+    )
+    ltop = pl.BlockSpec(
+        (1, 4, 1, Wo), lambda b, t: (b, 0, jnp.maximum(t * tr - 1, 0), 0)
+    )
+    lbot = pl.BlockSpec(
+        (1, 4, 1, Wo),
+        lambda b, t: (b, 0, jnp.minimum((t + 1) * tr, Ho - 1), 0),
+    )
+    const = lambda b, t: (0, 0)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, Ho, f, Wo), out_dtype),
+        grid=(B, nsteps),
+        in_specs=(
+            [cmain] * 4 + [ctop] * 4 + [cbot] * 4
+            + [lmain] * 4 + [ltop] * 4 + [lbot] * 4
+            + [
+                pl.BlockSpec((f4, 64), const),
+                pl.BlockSpec((f4, 1), const),
+                pl.BlockSpec((2, 2 * f, 12 * f), lambda b, t: (0, 0, 0)),
+                pl.BlockSpec((2 * f, 1), const),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ]
+        ),
+        out_specs=pl.BlockSpec((1, tr, f, Wo), lambda b, t: (b, t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((64, (tr + 2) * ws), compute_dtype),      # P
+            pltpu.VMEM((tr + 2, 4 * f, ws), compute_dtype),      # Y
+            pltpu.VMEM((16 * f, ws), compute_dtype),             # S
+        ],
+        interpret=interpret,
+    )(
+        *[v.astype(compute_dtype) for v in cviews],
+        *[v.astype(compute_dtype) for v in cviews],
+        *[v.astype(compute_dtype) for v in cviews],
+        *[v.astype(compute_dtype) for v in lviews],
+        *[v.astype(compute_dtype) for v in lviews],
+        *[v.astype(compute_dtype) for v in lviews],
+        jnp.asarray(wt0, compute_dtype),
+        jnp.asarray(bias0, jnp.float32),
+        jnp.asarray(w1t, compute_dtype),
+        # [2F, 1]: both rx phases of a matmul share the conv1 bias
+        jnp.tile(jnp.asarray(bias1, jnp.float32).reshape(-1), 2)[:, None],
+        jnp.stack(
+            [jnp.asarray(slope0, jnp.float32).reshape(()),
+             jnp.asarray(slope1, jnp.float32).reshape(())]
+        ).reshape(1, 2),
+    )
+    return out
+
+
+def block0_2conv_nhwc(x, w0, b0, slope0, w1, b1, slope1,
+                      interpret: bool = False):
+    """Drop-in pool(prelu(conv1(prelu(conv0(x))))) for NHWC float input;
+    returns NHWC [B, H/2, W/2, F]. Parity/reference entry."""
+    from frcnn_tpu.ops.pallas_block0 import (
+        block0_weights,
+        pack_s2d,
+        views_from_s2d,
+    )
+
+    lum4, chroma = pack_s2d(x)
+    cviews, lviews = views_from_s2d(lum4, chroma)
+    wt0, bias0 = block0_weights(w0, b0)
+    w1t = block0_2conv_weights(w1)
+    out = fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, b1,
+                             slope1, interpret=interpret)
+    return out.transpose(0, 1, 3, 2)
