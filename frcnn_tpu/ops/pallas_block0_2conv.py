@@ -127,32 +127,45 @@ def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int):
     for r2 in range(tr + 2):
         sl = slice(r2 * ws, r2 * ws + wo)
         for g in range(4):
+            # lum views arrive ROW-major [B, rows, 4, Wo] (not the packed
+            # phase-major [B, 4, rows, Wo]): Mosaic requires the last two
+            # block dims be 8-divisible or full, which a 1-row halo block
+            # (or tr=9 strips) can't satisfy with rows on the sublane axis
             if r2 == 0:
-                crow, lrow = ct[g][0, 0], (lambda p: lt[g][0, p, 0, :])
+                crow, lrow = ct[g][0, 0], (lambda p: lt[g][0, 0, p, :])
             elif r2 == tr + 1:
-                crow, lrow = cb[g][0, 0], (lambda p: lb[g][0, p, 0, :])
+                crow, lrow = cb[g][0, 0], (lambda p: lb[g][0, 0, p, :])
             else:
                 crow = cm[g][0, r2 - 1]
-                lrow = (lambda p, r=r2 - 1: lm[g][0, p, r, :])
+                lrow = (lambda p, r=r2 - 1: lm[g][0, r, p, :])
             P[16 * g:16 * g + 8, sl] = crow
             for p in range(4):
                 P[16 * g + 8 + p, sl] = lrow(p)
-    y = jax.lax.dot_general(
-        wt0_ref[:, :], P[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [4f, (tr+2)*ws]
-    y = y + b0_ref[:, :]
+    # conv0 matmul + epilogue in 4-row chunks: one [4f, (tr+2)*ws] f32
+    # result (~6 MB at tr=9) as a live vector value blew the Mosaic stack
+    # budget (18.1M > 16M scoped vmem); 4-row chunks keep N long enough
+    # for the MXU while bounding live temporaries to ~2 MB.
+    # Y (the y0 buffer) holds data at lane offset 1 with zero pad columns
+    # 0 / wo+1, in compute dtype (an f32 Y at tr=9 pushed the kernel's
+    # scoped vmem to 18.1M > 16M).
     s0 = slopes_ref[0, 0]
-    y = jnp.where(y >= 0.0, y, s0 * y)
-
-    # ---- y0 buffer: data at lane offset 1, zero pad columns 0 / wo+1 ----
-    for r2 in range(tr + 2):
-        for p in range(4):
-            Y[r2, p * f:(p + 1) * f, 1:1 + wo] = (
-                y[p * f:(p + 1) * f, r2 * ws:r2 * ws + wo].astype(Y.dtype)
-            )
-        Y[r2, :, 0:1] = jnp.zeros((4 * f, 1), Y.dtype)
-        Y[r2, :, 1 + wo:2 + wo] = jnp.zeros((4 * f, 1), Y.dtype)
+    CH = 4
+    for c0 in range(0, tr + 2, CH):
+        c1 = min(c0 + CH, tr + 2)
+        y = jax.lax.dot_general(
+            wt0_ref[:, :], P[:, c0 * ws:c1 * ws], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [4f, (c1-c0)*ws]
+        y = y + b0_ref[:, :]
+        y = jnp.where(y >= 0.0, y, s0 * y)
+        for r2 in range(c0, c1):
+            o = (r2 - c0) * ws
+            for p in range(4):
+                Y[r2, p * f:(p + 1) * f, 1:1 + wo] = (
+                    y[p * f:(p + 1) * f, o:o + wo].astype(Y.dtype)
+                )
+            Y[r2, :, 0:1] = jnp.zeros((4 * f, 1), Y.dtype)
+            Y[r2, :, 1 + wo:2 + wo] = jnp.zeros((4 * f, 1), Y.dtype)
 
     # out-of-image halo rows are conv1 zero padding (fine rows -1 and H)
     @pl.when(t == 0)
@@ -171,15 +184,21 @@ def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int):
             row = r + 1 + ay
             base = rgi * 4 * f
             # col-group 0: (ax=-1, qx=1) -> phase 2qy+1, lane shift 0
-            S[base:base + f, :] = Y[row, (2 * qy + 1) * f:(2 * qy + 2) * f, :]
+            S[base:base + f, :] = Y[
+                row, (2 * qy + 1) * f:(2 * qy + 2) * f, :
+            ]
+            # Mosaic's lane rotate is 32-bit-only ("Rotate with non-32-bit
+            # data" on bf16): upcast the slice, roll f32, cast back.
             # col-groups 1,2: (ax=0, qx=0/1) -> adjacent phases, shift +1
             S[base + f:base + 3 * f, :] = pltpu.roll(
-                Y[row, 2 * qy * f:(2 * qy + 2) * f, :], WS - 1, 1
-            )
+                Y[row, 2 * qy * f:(2 * qy + 2) * f, :].astype(jnp.float32),
+                WS - 1, 1,
+            ).astype(S.dtype)
             # col-group 3: (ax=1, qx=0) -> phase 2qy, shift +2
             S[base + 3 * f:base + 4 * f, :] = pltpu.roll(
-                Y[row, 2 * qy * f:(2 * qy + 1) * f, :], WS - 2, 1
-            )
+                Y[row, 2 * qy * f:(2 * qy + 1) * f, :].astype(jnp.float32),
+                WS - 2, 1,
+            ).astype(S.dtype)
         m = None
         for ry in range(2):
             z = jax.lax.dot_general(
@@ -229,10 +248,15 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
     assert Ho % tr == 0, f"strip height {tr} must divide Ho={Ho}"
     nsteps = Ho // tr
     ws = -(-(Wo + 2) // 128) * 128
+    # row-major lum views [B, rows, 4, Wo] (see the kernel's layout note);
+    # one small XLA relayout per frame, AFTER normalization (whose phase
+    # ops want the packed phase-major lum4)
+    lviews_rm = [v.astype(compute_dtype).transpose(0, 2, 1, 3)
+                 for v in lviews]
     kern = functools.partial(_kernel, tr=tr, f=f, wo=Wo, nsteps=nsteps)
 
     cmain = pl.BlockSpec((1, tr, 8, Wo), lambda b, t: (b, t, 0, 0))
-    lmain = pl.BlockSpec((1, 4, tr, Wo), lambda b, t: (b, 0, t, 0))
+    lmain = pl.BlockSpec((1, tr, 4, Wo), lambda b, t: (b, t, 0, 0))
     # halo rows: single-row blocks -> block index == row index, so the
     # clamped element-level maps are expressible. The clamped duplicates
     # (t=0 top, t=last bottom) feed rows the kernel zero-masks.
@@ -244,11 +268,11 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
         lambda b, t: (b, jnp.minimum((t + 1) * tr, Ho - 1), 0, 0),
     )
     ltop = pl.BlockSpec(
-        (1, 4, 1, Wo), lambda b, t: (b, 0, jnp.maximum(t * tr - 1, 0), 0)
+        (1, 1, 4, Wo), lambda b, t: (b, jnp.maximum(t * tr - 1, 0), 0, 0)
     )
     lbot = pl.BlockSpec(
-        (1, 4, 1, Wo),
-        lambda b, t: (b, 0, jnp.minimum((t + 1) * tr, Ho - 1), 0),
+        (1, 1, 4, Wo),
+        lambda b, t: (b, jnp.minimum((t + 1) * tr, Ho - 1), 0, 0),
     )
     const = lambda b, t: (0, 0)
     out = pl.pallas_call(
@@ -277,9 +301,9 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
         *[v.astype(compute_dtype) for v in cviews],
         *[v.astype(compute_dtype) for v in cviews],
         *[v.astype(compute_dtype) for v in cviews],
-        *[v.astype(compute_dtype) for v in lviews],
-        *[v.astype(compute_dtype) for v in lviews],
-        *[v.astype(compute_dtype) for v in lviews],
+        *lviews_rm,
+        *lviews_rm,
+        *lviews_rm,
         jnp.asarray(wt0, compute_dtype),
         jnp.asarray(bias0, jnp.float32),
         jnp.asarray(w1t, compute_dtype),
