@@ -97,6 +97,53 @@ def backend_healthcheck(timeout_s: int = 120, attempts: int = None):
     return False, err
 
 
+def metric_name(m: str) -> str:
+    """The metric label a mode string is recorded under."""
+    suffix = "" if m == "bf16" else f" [{m}]"
+    if "imagenet" in m:
+        return ("batched detect images/sec/chip @1000x480 "
+                f"(vgg_large/imagenet){suffix}")
+    model = "vgg_large" if "large" in m else "vgg_small"
+    return (f"batched detect images/sec/chip @800x450 "
+            f"({model}/duplo){suffix}")
+
+
+def bench_config(mode: str):
+    """The Config a bench mode string measures (unit-tested on CPU in
+    tests/test_bench_modes.py; the heavy compiled paths it selects are
+    covered by the detector/serving e2e tests)."""
+    import dataclasses as _dc
+
+    from frcnn_tpu.config import duplo_config, imagenet_config, vgg_large_model
+
+    # The duplo workload is exactly 800x450 frames (the BASELINE.json north
+    # star), so the compile bucket is pinned to that envelope; the duplo
+    # default bucket is the full 450x1000 resize envelope for arbitrary
+    # wide images.
+    if "imagenet" in mode:
+        # reference config/imagenet.lua envelope: vgg_large, 480 px smaller
+        # side, landscape bucket 480x1000 (the workload below generates
+        # landscape frames; portrait gets its own compile bucket in the
+        # pipeline, identical program shape)
+        cfg = imagenet_config()
+        cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(480, 1000)))
+    else:
+        cfg = duplo_config()
+        cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
+    if "large" in mode:
+        cfg = cfg.replace(model=vgg_large_model())
+    if "pallas" in mode or "s2d" in mode:
+        # FRCNN_BENCH_INTERPRET=1: run the Pallas kernels in interpret
+        # mode so the mode matrix is smoke-testable on CPU; never set on
+        # real measurements
+        interp = os.environ.get("FRCNN_BENCH_INTERPRET", "") == "1"
+        cfg = cfg.replace(pallas_mode="interpret" if interp else "on")
+    if "s2d" in mode:
+        # host-packed space-to-depth input layout + fused block0 kernel
+        cfg = cfg.replace(input_layout="s2d")
+    return cfg
+
+
 def run_bench(batch_size: int, iters: int, mode: str) -> float:
     import jax
     import jax.numpy as jnp
@@ -108,28 +155,11 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
     except Exception:
         pass
 
-    from frcnn_tpu.config import duplo_config
     from frcnn_tpu.detect.detector import build_detect_fn
     from frcnn_tpu.geometry.anchors import AnchorGenerator
     from frcnn_tpu.models.factory import create_models, init_params
 
-    # The bench workload is exactly 800x450 frames (the BASELINE.json north
-    # star), so the compile bucket is pinned to that envelope; the duplo
-    # default bucket is the full 450x1000 resize envelope for arbitrary
-    # wide images.
-    import dataclasses as _dc
-
-    cfg = duplo_config()
-    cfg = cfg.replace(shapes=_dc.replace(cfg.shapes, image_hw=(450, 800)))
-    if "large" in mode:
-        from frcnn_tpu.config import vgg_large_model
-
-        cfg = cfg.replace(model=vgg_large_model())
-    if "pallas" in mode or "s2d" in mode:
-        cfg = cfg.replace(pallas_mode="on")
-    if "s2d" in mode:
-        # host-packed space-to-depth input layout + fused block0 kernel
-        cfg = cfg.replace(input_layout="s2d")
+    cfg = bench_config(mode)
     gen = AnchorGenerator(cfg)
     pnet, cnet = create_models(cfg)
     params, stats = init_params(cfg, jax.random.PRNGKey(0))
@@ -227,8 +257,10 @@ def main():
     # bound is a traced arg so iters does not change the compiled program
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    # bf16 | int8 | int8s (static act scales) | pallas | s2d | large
-    # (vgg_large family; no s2d — its first block is 2 convs) | combos like
+    # bf16 | int8 | int8s (static act scales) | pallas | s2d (fused block0
+    # frontend; covers BOTH 1-conv vgg_small and 2-conv vgg_large first
+    # blocks, ops/pallas_block0{,_2conv}.py) | large (vgg_large family) |
+    # imagenet (vgg_large at the 480x1000 imagenet envelope) | combos like
     # "int8s+pallas+s2d" | "best" (headline chain: fastest measured mode,
     # falling back through progressively plainer modes if a fancy path
     # fails on the current backend). Accuracy of every fast mode vs bf16:
@@ -239,11 +271,7 @@ def main():
 
     ok, err = backend_healthcheck()
     if not ok:
-        m0 = chain[0]
-        suffix = "" if m0 == "bf16" else f" [{m0}]"
-        model = "vgg_large" if "large" in m0 else "vgg_small"
-        emit(f"batched detect images/sec/chip @800x450 ({model}/duplo)"
-             f"{suffix}", 0.0, error=f"backend unavailable: {err}")
+        emit(metric_name(chain[0]), 0.0, error=f"backend unavailable: {err}")
         return
 
     # the flaky tunnel can still drop mid-run — bounded retry per mode,
@@ -251,10 +279,7 @@ def main():
     last = ""
     metric = ""
     for m in chain:
-        suffix = "" if m == "bf16" else f" [{m}]"
-        model = "vgg_large" if "large" in m else "vgg_small"
-        metric = (f"batched detect images/sec/chip @800x450 "
-                  f"({model}/duplo){suffix}")
+        metric = metric_name(m)
         for attempt in range(2):
             try:
                 emit(metric, run_bench(batch_size, iters, m))

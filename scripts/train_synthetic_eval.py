@@ -341,6 +341,25 @@ def _make_imagenet_dataset(out_dir, n_images, img_w, img_h, n_classes,
                               mixed_orientation=True)
 
 
+def imagenet_smoke_cfg(n_classes: int):
+    """CPU-smokeable shrink of :func:`imagenet_scale_cfg`: the same model
+    family (vgg_large), dual-bucket machinery, and 0.6/0.25 thresholds,
+    with the envelope reduced 3x so the full wiring (mixed-orientation
+    photo dataset -> portrait/landscape bucket routing -> vgg_large train
+    -> evaluate) runs in minutes on one CPU core before the real-envelope
+    TPU run relies on it."""
+    from frcnn_tpu.config import imagenet_config
+
+    cfg = imagenet_config(
+        class_count=n_classes, learning_rate=1e-4, uint8_wire=True,
+        target_smaller_side=160, max_pixel_size=320,
+        scales=(24, 48, 96, 192),
+    )
+    return cfg.replace(shapes=dataclasses.replace(
+        cfg.shapes, image_hw=(160, 320), portrait_hw=(320, 160),
+        images_per_step=2))
+
+
 SCALES = {
     # (img_w, img_h, box_lo, box_hi, n_classes, cfg builder, scene maker)
     "tiny": (200, 160, 48, 80, 3, tiny_cfg, make_dataset),
@@ -352,6 +371,9 @@ SCALES = {
     # compile buckets), photo backgrounds
     "imagenet": (1000, 480, 60, 380, 6, imagenet_scale_cfg,
                  _make_imagenet_dataset),
+    # 3x-shrunk imagenet: same dual-bucket + vgg_large wiring, CPU-sized
+    "imagenet_smoke": (320, 160, 24, 100, 3, imagenet_smoke_cfg,
+                       _make_imagenet_dataset),
 }
 
 
