@@ -49,6 +49,17 @@ while [ ! -f $MARK/ALL_DONE ]; do
     continue
   fi
 
+  # quick viability probe first: Mosaic int8 dot (informs whether the
+  # parked int8-conv-kernel ceiling math in docs/perf_ceiling.md changes)
+  if [ ! -f $MARK/int8dot ]; then
+    say "stage int8dot: probe_int8_dot"
+    if timeout 1200 python scripts/probe_int8_dot.py 1024 1024 1024 40 >> $LOG 2>&1; then
+      touch $MARK/int8dot; say "stage int8dot DONE"
+    else
+      say "stage int8dot failed; retry"; sleep 90; continue
+    fi
+  fi
+
   run_bench_stage best32          python bench.py 32 40 best || { sleep 90; continue; }
   run_bench_stage large_s2d       python bench.py 16 40 large+int8s+pallas+s2d || { sleep 90; continue; }
   run_bench_stage large_nos2d     python bench.py 16 40 large+int8s+pallas || { sleep 90; continue; }
