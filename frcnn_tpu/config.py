@@ -268,6 +268,14 @@ class Config:
     # and an even-sized bucket. Inference only; training always uses NHWC.
     input_layout: str = "nhwc"
 
+    # With input_layout='s2d', a 2-conv first block (vgg_large) and an
+    # int8 static-scale pnet (QuantizedPNetAdapter with calibrated
+    # act_scales): run the fused kernel's conv1 on the int8 MXU (2x the
+    # bf16 rate on v5e) using the adapter's block0_conv1 weight/activation
+    # scales. False keeps conv1 bf16 in-kernel (the apples-to-apples
+    # comparison point for measurements).
+    s2d_block0_int8: bool = True
+
     @property
     def num_classes_with_bg(self) -> int:
         return self.class_count + 1

@@ -204,18 +204,37 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                 # kernel keeps BOTH full-resolution activations out of HBM
                 from frcnn_tpu.ops.pallas_block0_2conv import (
                     block0_2conv_weights_jnp,
+                    block0_2conv_weights_q_jnp,
                     fused_block0_2conv,
                 )
 
-                w1t = block0_2conv_weights_jnp(
-                    p0["block0_conv1"]["kernel"].astype(jnp.float32)
+                # int8 conv1 inside the kernel when serving the int8s
+                # path (QuantizedPNetAdapter with calibrated act scales):
+                # same models/quant.py quantization, int8 MXU rate
+                q1 = (getattr(pnet, "qparams", None) or {}).get(
+                    "block0_conv1"
                 )
+                s_y = (getattr(pnet, "act_scales", None) or {}).get(
+                    "block0_conv1"
+                )
+                quant_kw = {}
+                if (q1 is not None and s_y is not None
+                        and getattr(cfg, "s2d_block0_int8", True)):
+                    w1t = block0_2conv_weights_q_jnp(q1["w_int8"])
+                    conv1_bias = q1["bias"]
+                    quant_kw = dict(w1_scales=q1["scale"], act_scale=s_y)
+                else:
+                    w1t = block0_2conv_weights_jnp(
+                        p0["block0_conv1"]["kernel"].astype(jnp.float32)
+                    )
+                    conv1_bias = p0["block0_conv1"]["bias"]
                 b0 = fused_block0_2conv(
                     cviews, lviews, wt, bias,
                     p0["block0_prelu0"]["slope"].reshape(()),
-                    w1t, p0["block0_conv1"]["bias"],
+                    w1t, conv1_bias,
                     p0["block0_prelu1"]["slope"].reshape(()),
                     interpret=interpret, compute_dtype=cdt,
+                    **quant_kw,
                 ).transpose(0, 1, 3, 2)
             else:
                 b0 = fused_block0(

@@ -110,11 +110,26 @@ def block0_2conv_weights_jnp(w1):
     return wt.reshape(2, 2 * f, 12 * f)
 
 
-def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int):
+def block0_2conv_weights_q_jnp(w1q):
+    """int8 conv1 weights -> int8 [2, 2F, 12F] stack. Exact: the 0/1 tap
+    map only places values, and int8 magnitudes are exactly representable
+    in the f32 einsum."""
+    wt = block0_2conv_weights_jnp(w1q.astype(jnp.float32))
+    return jnp.round(wt).astype(jnp.int8)
+
+
+def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int,
+            quant: bool = False):
     (cm, ct, cb, lm, lt, lb) = (refs[0:4], refs[4:8], refs[8:12],
                                 refs[12:16], refs[16:20], refs[20:24])
     wt0_ref, b0_ref, w1t_ref, b1_ref, slopes_ref = refs[24:29]
-    out_ref, P, Y, S = refs[29:33]
+    if quant:
+        # int8 conv1: per-(rx,out-channel) dequant scale column [2F, 1]
+        # (= s_y * s_w[o]) and 1/s_y in SMEM for the conv0 epilogue quant
+        wscale_ref, inv_sy_ref = refs[29:31]
+        out_ref, P, Y, S = refs[31:35]
+    else:
+        out_ref, P, Y, S = refs[29:33]
     ws = P.shape[1] // (tr + 2)
     t = pl.program_id(1)
 
@@ -158,6 +173,10 @@ def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int):
         )  # [4f, (c1-c0)*ws]
         y = y + b0_ref[:, :]
         y = jnp.where(y >= 0.0, y, s0 * y)
+        if quant:
+            # symmetric per-tensor activation quant (models/quant.py
+            # scheme): y0 enters conv1 as int8, scale s_y static
+            y = jnp.clip(jnp.round(y * inv_sy_ref[0, 0]), -127.0, 127.0)
         for r2 in range(c0, c1):
             o = (r2 - c0) * ws
             for p in range(4):
@@ -204,9 +223,12 @@ def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int):
             z = jax.lax.dot_general(
                 w1t_ref[ry], S[ry * 4 * f:ry * 4 * f + 12 * f, :],
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32 if quant else jnp.float32,
             )  # [2f, WS]: rows [0:f] = phase (ry,0), [f:2f] = (ry,1)
-            z = z + b1_ref[:, :]
+            if quant:
+                z = z.astype(jnp.float32) * wscale_ref[:, :] + b1_ref[:, :]
+            else:
+                z = z + b1_ref[:, :]
             z = jnp.where(z >= 0.0, z, s1 * z)
             zm = jnp.maximum(z[:f], z[f:])
             m = zm if m is None else jnp.maximum(m, zm)
@@ -223,7 +245,8 @@ def _pick_tr(ho: int, cap: int = 10) -> int:
 def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
                        slope1, out_dtype=None, tr: int = None,
                        interpret: bool = False,
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=jnp.bfloat16,
+                       w1_scales=None, act_scale=None):
     """Run the fused 2-conv block0 kernel.
 
     Args:
@@ -232,15 +255,22 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
       wt0, bias0: conv0 on the 64-row patch basis
         (``ops.pallas_block0.block0_weights``), [4F, 64] / [4F, 1].
       slope0 / slope1: scalar PReLU slopes of the two convs.
-      w1t: [2, 2F, 12F] from :func:`block0_2conv_weights`.
+      w1t: [2, 2F, 12F] from :func:`block0_2conv_weights` — int8 when
+        ``w1_scales``/``act_scale`` are given (int8 conv1 mode).
       bias1: conv1 bias [F].
       tr: strip height (must divide Ho; default: largest divisor <= 10).
+      w1_scales / act_scale: per-out-channel conv1 weight scales [F] and
+        the static y0 activation scale (models/quant.py int8s scheme).
+        When both are given, conv0 runs bf16 as usual but its output is
+        quantized to int8 in-register and conv1 runs on the int8 MXU
+        (2x the bf16 rate on v5e), dequantized in the epilogue.
     Returns [B, Ho, F, Wo] (channels-middle) in ``out_dtype``
     (default ``compute_dtype``).
     """
     B, Ho, _, Wo = cviews[0].shape
     f4 = wt0.shape[0]
     f = f4 // 4
+    quant = w1_scales is not None and act_scale is not None
     if out_dtype is None:
         out_dtype = compute_dtype
     if tr is None:
@@ -253,7 +283,8 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
     # ops want the packed phase-major lum4)
     lviews_rm = [v.astype(compute_dtype).transpose(0, 2, 1, 3)
                  for v in lviews]
-    kern = functools.partial(_kernel, tr=tr, f=f, wo=Wo, nsteps=nsteps)
+    kern = functools.partial(_kernel, tr=tr, f=f, wo=Wo, nsteps=nsteps,
+                             quant=quant)
 
     cmain = pl.BlockSpec((1, tr, 8, Wo), lambda b, t: (b, t, 0, 0))
     lmain = pl.BlockSpec((1, tr, 4, Wo), lambda b, t: (b, t, 0, 0))
@@ -275,6 +306,22 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
         lambda b, t: (b, jnp.minimum((t + 1) * tr, Ho - 1), 0, 0),
     )
     const = lambda b, t: (0, 0)
+    yq_dtype = jnp.int8 if quant else compute_dtype
+    extra_specs = []
+    extra_args = []
+    if quant:
+        # dequant column s_y * s_w[o], tiled over both rx phases like b1
+        wscale = (jnp.tile(
+            jnp.asarray(w1_scales, jnp.float32).reshape(-1), 2
+        )[:, None] * jnp.asarray(act_scale, jnp.float32).reshape(()))
+        extra_specs = [
+            pl.BlockSpec((2 * f, 1), const),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        extra_args = [
+            wscale,
+            (1.0 / jnp.asarray(act_scale, jnp.float32)).reshape(1, 1),
+        ]
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, Ho, f, Wo), out_dtype),
@@ -289,12 +336,13 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
                 pl.BlockSpec((2 * f, 1), const),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ]
+            + extra_specs
         ),
         out_specs=pl.BlockSpec((1, tr, f, Wo), lambda b, t: (b, t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((64, (tr + 2) * ws), compute_dtype),      # P
-            pltpu.VMEM((tr + 2, 4 * f, ws), compute_dtype),      # Y
-            pltpu.VMEM((16 * f, ws), compute_dtype),             # S
+            pltpu.VMEM((tr + 2, 4 * f, ws), yq_dtype),           # Y
+            pltpu.VMEM((16 * f, ws), yq_dtype),                  # S
         ],
         interpret=interpret,
     )(
@@ -306,13 +354,14 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
         *lviews_rm,
         jnp.asarray(wt0, compute_dtype),
         jnp.asarray(bias0, jnp.float32),
-        jnp.asarray(w1t, compute_dtype),
+        jnp.asarray(w1t, jnp.int8 if quant else compute_dtype),
         # [2F, 1]: both rx phases of a matmul share the conv1 bias
         jnp.tile(jnp.asarray(bias1, jnp.float32).reshape(-1), 2)[:, None],
         jnp.stack(
             [jnp.asarray(slope0, jnp.float32).reshape(()),
              jnp.asarray(slope1, jnp.float32).reshape(())]
         ).reshape(1, 2),
+        *extra_args,
     )
     return out
 
@@ -333,4 +382,25 @@ def block0_2conv_nhwc(x, w0, b0, slope0, w1, b1, slope1,
     w1t = block0_2conv_weights(w1)
     out = fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, b1,
                              slope1, interpret=interpret)
+    return out.transpose(0, 1, 3, 2)
+
+
+def block0_2conv_nhwc_q(x, w0, b0, slope0, w1q, w1_scales, act_scale, b1,
+                        slope1, interpret: bool = False):
+    """NHWC entry for the int8-conv1 mode (models/quant.py int8s scheme):
+    conv0 bf16, y0 quantized at ``act_scale``, conv1 on int8 weights
+    ``w1q`` with per-out-channel ``w1_scales``. Parity/reference entry."""
+    from frcnn_tpu.ops.pallas_block0 import (
+        block0_weights,
+        pack_s2d,
+        views_from_s2d,
+    )
+
+    lum4, chroma = pack_s2d(x)
+    cviews, lviews = views_from_s2d(lum4, chroma)
+    wt0, bias0 = block0_weights(w0, b0)
+    w1t = block0_2conv_weights_q_jnp(jnp.asarray(w1q))
+    out = fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, b1,
+                             slope1, interpret=interpret,
+                             w1_scales=w1_scales, act_scale=act_scale)
     return out.transpose(0, 1, 3, 2)

@@ -142,6 +142,168 @@ def test_weight_builder_group_structure():
         assert used.sum() == 12
 
 
+def _quantize_w1(w1):
+    """models/quant.py scheme: symmetric per-out-channel int8 weights."""
+    s_w = np.maximum(np.abs(w1).max(axis=(0, 1, 2)) / 127.0, 1e-12)
+    w1q = np.clip(np.round(w1 / s_w), -127, 127).astype(np.int8)
+    return w1q, s_w.astype(np.float32)
+
+
+def quantized_reference_conv1(y, w1q, s_w, s_y, b1, slope1):
+    """XLA oracle for the kernel's int8 conv1: quantize y at s_y, int8
+    conv (int32 accumulate), dequantize + bias + PReLU + pool."""
+    yq = jnp.clip(jnp.round(y / s_y), -127, 127).astype(jnp.int8)
+    z = jax.lax.conv_general_dilated(
+        yq, jnp.asarray(w1q), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    z = z.astype(jnp.float32) * (s_y * s_w)[None, None, None, :] + b1
+    z = jnp.where(z >= 0, z, slope1 * z)
+    return ceil_max_pool_2x2(z)
+
+
+def test_block0_2conv_quant_fp32_exact():
+    """int8-conv1 mode, f32 compute: the kernel must reproduce the XLA
+    int8 formulation (quantize y0 -> s8 conv -> dequant) to float
+    rounding — int32 accumulation is exact, so any tap/scale mistake is a
+    gross integer error."""
+    from frcnn_tpu.ops.pallas_block0_2conv import block0_2conv_weights_q_jnp
+
+    H, W = 20, 24
+    x, w0, b0, w1, b1 = _rand(5, 2, H, W)
+    w1q, s_w = _quantize_w1(w1)
+    s_y = np.float32(0.05)
+
+    y = _conv(x, w0, b0)
+    y = jnp.where(y >= 0, y, 0.25 * y)
+    ref = quantized_reference_conv1(y, w1q, s_w, s_y, b1, 0.1)
+
+    lum4, chroma = pack_s2d(x)
+    cviews, lviews = views_from_s2d(lum4, chroma, out_dtype=jnp.float32)
+    wt0, bias0 = block0_weights(w0, b0)
+    w1t = block0_2conv_weights_q_jnp(jnp.asarray(w1q))
+    got = fused_block0_2conv(
+        cviews, lviews, wt0, bias0, 0.25, w1t, b1, 0.1,
+        interpret=True, compute_dtype=jnp.float32,
+        w1_scales=s_w, act_scale=s_y,
+    ).transpose(0, 1, 3, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_block0_2conv_quant_bf16_bounded():
+    """bf16 compute only moves y0 by bf16 noise, so the quantized output
+    may differ from the f32-quantized oracle by at most a few flipped
+    bins; the error bound is a small multiple of the output LSB
+    (s_y * s_w * |w| envelope), NOT unbounded float drift."""
+    from frcnn_tpu.ops.pallas_block0_2conv import block0_2conv_weights_q_jnp
+
+    H, W = 12, 16
+    x, w0, b0, w1, b1 = _rand(6, 2, H, W)
+    w1q, s_w = _quantize_w1(w1)
+    s_y = np.float32(0.05)
+
+    y = _conv(x, w0, b0)
+    y = jnp.where(y >= 0, y, 0.25 * y)
+    ref = quantized_reference_conv1(y, w1q, s_w, s_y, b1, 0.1)
+
+    lum4, chroma = pack_s2d(x)
+    cviews, lviews = views_from_s2d(lum4, chroma)
+    wt0, bias0 = block0_weights(w0, b0)
+    w1t = block0_2conv_weights_q_jnp(jnp.asarray(w1q))
+    got = fused_block0_2conv(
+        cviews, lviews, wt0, bias0, 0.25, w1t, b1, 0.1,
+        interpret=True, w1_scales=s_w, act_scale=s_y,
+    ).astype(jnp.float32).transpose(0, 1, 3, 2)
+    d = np.abs(np.asarray(got) - np.asarray(ref))
+    # a flipped y0 bin moves one conv1 tap by s_y * s_w[o] * |w1q| <=
+    # s_y * |w1|_max; allow a handful of flips plus bf16 epilogue noise
+    bound = 9 * s_y * np.abs(w1).max() + 0.02 * np.abs(np.asarray(ref))
+    assert (d <= bound).all(), float((d - bound).max())
+
+
+def test_s2d_2conv_detect_int8_kernel_matches_int8s_xla():
+    """Full detect, vgg_large-style 2-conv first block: the s2d path with
+    the IN-KERNEL int8 conv1 (cfg.s2d_block0_int8) vs the plain int8s XLA
+    path (QuantizedPNetAdapter, NHWC input), forced real detections. The
+    two quantize conv1 identically; conv0 is f32 in-kernel vs int8 in the
+    adapter, so boxes/confidence match to quantization-level tolerance."""
+    import dataclasses
+
+    from frcnn_tpu.detect.detector import build_detect_fn
+    from frcnn_tpu.geometry.anchors import AnchorGenerator
+    from frcnn_tpu.models.factory import create_models, init_params
+    from frcnn_tpu.models.quant import (
+        QuantizedPNetAdapter,
+        quantize_pnet_params,
+    )
+    from frcnn_tpu.ops.normalization import normalize_image
+    from tests.test_detector import _force_fg_params
+    from tests.tiny import tiny_config
+
+    cfg = tiny_config().replace(pallas_mode="interpret")
+    layers = list(cfg.model.layers)
+    layers[0] = dataclasses.replace(layers[0], conv_steps=2)
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, layers=tuple(layers))
+    )
+    gen = AnchorGenerator(cfg)
+    pnet, cnet = create_models(cfg)
+    params, stats = init_params(cfg, jax.random.PRNGKey(0))
+    params = _force_fg_params(cfg, params)
+    cb = np.zeros(cfg.class_count + 1, np.float32)
+    cb[0] = 4.0
+    params["cnet"]["cls_head"]["bias"] = jnp.asarray(cb)
+
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.normal(0.3, 0.2, (2, H, W, 3)).astype(np.float32))
+    hw = jnp.asarray([[H, W], [H - 20, W - 14]], jnp.int32)
+
+    nc = cfg.normalization
+    calib = jax.vmap(
+        lambda im, thw: normalize_image(
+            im, thw[0], thw[1], method=nc.method, width=nc.width,
+            centering=nc.centering, scaling=nc.scaling,
+        )
+    )(imgs, hw)
+    adapter = QuantizedPNetAdapter(
+        cfg.model, quantize_pnet_params(params, cfg.model),
+        act_dtype=jnp.float32,
+    ).calibrate(calib)
+    assert "block0_conv1" in adapter.act_scales
+
+    o_ref = build_detect_fn(cfg, gen, adapter, cnet)(params, stats, imgs, hw)
+    cfg_s = cfg.replace(input_layout="s2d")
+    assert cfg_s.s2d_block0_int8
+    o_q = build_detect_fn(cfg_s, gen, adapter, cnet)(
+        params, stats, pack_s2d(imgs), hw
+    )
+
+    v = np.asarray(o_ref.valid)
+    assert v.sum() >= 1, "vacuous parity test: no valid detections"
+    np.testing.assert_array_equal(v, np.asarray(o_q.valid))
+    # conv0 quantization noise (int8 in the adapter vs f32 in-kernel)
+    # reorders near-equal confidences in the final sort, so match
+    # detections by nearest box per image (1:1), not by slot
+    br, bq = np.asarray(o_ref.boxes), np.asarray(o_q.boxes)
+    cr, cq = np.asarray(o_ref.confidence), np.asarray(o_q.confidence)
+    kr, kq = np.asarray(o_ref.classes), np.asarray(o_q.classes)
+    for b in range(br.shape[0]):
+        idx = np.where(v[b])[0]
+        taken = set()
+        for i in idx:
+            d = np.abs(br[b, i] - bq[b, idx]).max(axis=1)
+            j = idx[int(d.argmin())]
+            assert j not in taken, "two ref detections map to one q slot"
+            taken.add(j)
+            assert d.min() < 0.5, (b, i, float(d.min()))
+            assert kr[b, i] == kq[b, j]
+            np.testing.assert_allclose(cq[b, j], cr[b, i],
+                                       rtol=0.05, atol=0.01)
+
+
 def test_pick_tr():
     assert _pick_tr(225) == 9
     assert _pick_tr(240) == 10

@@ -95,10 +95,20 @@ def test_serving_config_s2d_gating():
 
     assert serving_config().input_layout == "s2d"
     assert serving_config().pallas_mode == "on"
-    # vgg_large: two convs in block 0 -> no fused s2d frontend
+    # vgg_large: 2-conv first block, served by the fused 2-conv s2d
+    # kernel (ops/pallas_block0_2conv.py)
     large = serving_config(duplo_config().replace(model=vgg_large_model()))
-    assert large.input_layout == "nhwc"
+    assert large.input_layout == "s2d"
     assert large.pallas_mode == "on"
+    # anything but a 3x3/1/1 1- or 2-conv first block stays NHWC
+    import dataclasses as _dc
+
+    base5 = duplo_config()
+    layers = list(base5.model.layers)
+    layers[0] = _dc.replace(layers[0], kH=5, kW=5, padH=2, padW=2)
+    base5 = base5.replace(
+        model=_dc.replace(base5.model, layers=tuple(layers)))
+    assert serving_config(base5).input_layout == "nhwc"
     # an odd-sized portrait bucket must disable s2d at config time
     base = duplo_config()
     base = base.replace(shapes=dc.replace(
