@@ -141,6 +141,10 @@ def bench_config(mode: str):
     if "s2d" in mode:
         # host-packed space-to-depth input layout + fused block0 kernel
         cfg = cfg.replace(input_layout="s2d")
+    if "b0bf16" in mode:
+        # keep the 2-conv kernel's conv1 in bf16 even under int8s — the
+        # apples-to-apples point for the in-kernel int8 MXU measurement
+        cfg = cfg.replace(s2d_block0_int8=False)
     return cfg
 
 

@@ -62,6 +62,7 @@ while [ ! -f $MARK/ALL_DONE ]; do
 
   run_bench_stage best32          python bench.py 32 40 best || { sleep 90; continue; }
   run_bench_stage large_s2d       python bench.py 16 40 large+int8s+pallas+s2d || { sleep 90; continue; }
+  run_bench_stage large_s2d_b0bf16 python bench.py 16 40 large+int8s+pallas+s2d+b0bf16 || { sleep 90; continue; }
   run_bench_stage large_nos2d     python bench.py 16 40 large+int8s+pallas || { sleep 90; continue; }
   run_bench_stage large_bf16s2d   python bench.py 16 40 large+pallas+s2d || { sleep 90; continue; }
   run_bench_stage imagenet_s2d    python bench.py 16 20 imagenet+int8s+pallas+s2d || { sleep 90; continue; }

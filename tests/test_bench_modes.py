@@ -58,3 +58,9 @@ def test_metric_names_match_mode():
     assert "@800x450" in bench.metric_name("large+int8s")
     assert "vgg_large/duplo" in bench.metric_name("large+int8s")
     assert bench.metric_name("bf16").endswith("(vgg_small/duplo)")
+
+
+def test_b0bf16_mode_disables_in_kernel_int8():
+    cfg = bench.bench_config("large+int8s+pallas+s2d+b0bf16")
+    assert cfg.s2d_block0_int8 is False
+    assert bench.bench_config("large+int8s+pallas+s2d").s2d_block0_int8
