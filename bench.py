@@ -154,7 +154,7 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
     import numpy as np
     # persistent compile cache: repeated bench invocations skip XLA compile
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/frcnn_tpu_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

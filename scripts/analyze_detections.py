@@ -46,7 +46,7 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/frcnn_tpu_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     except Exception:
         pass
 

@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/frcnn_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass

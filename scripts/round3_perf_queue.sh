@@ -16,17 +16,13 @@
 # Launch detached:  nohup bash scripts/round3_perf_queue.sh & echo $! > /tmp/perf3.pid
 cd "$(dirname "$0")/.."
 LOG=scripts/round3_perf.log
-MARK=/tmp/r3perf
+MARK=runs/r3perf
 mkdir -p $MARK
 export PYTHONUNBUFFERED=1
 export FRCNN_BENCH_HEALTH_ATTEMPTS=0
 
 say() { echo "$(date +%H:%M:%S) $*" >> $LOG; }
-say "=== round3 perf queue started (waiting for acc queue)"
-
-# do not contend with the accuracy queue for the chip
-while [ ! -f /tmp/acc_photo/QUEUE_DONE ]; do sleep 120; done
-say "acc queue done; starting measurements"
+say "=== round3 perf queue started (runs FIRST; acc queue waits on ALL_DONE)"
 
 # bench stages: name | cmd
 run_bench_stage() { # $1 marker, $2.. command
@@ -87,12 +83,12 @@ while [ ! -f $MARK/ALL_DONE ]; do
   # short imagenet-scale end-to-end: dual buckets (480x1000 landscape +
   # 1000x480 portrait), vgg_large, train -> eval -> demos. Resumable via
   # partial.ckpt like the accuracy queue.
-  if [ ! -f /tmp/acc_imagenet/result.json ]; then
+  if [ ! -f runs/acc_imagenet/result.json ]; then
     say "stage imagenet e2e: train_synthetic_eval --scale imagenet"
     timeout 5400 python scripts/train_synthetic_eval.py --scale imagenet \
-      --steps 2000 --images 240 --out /tmp/acc_imagenet --chunk 8 \
+      --steps 2000 --images 240 --out runs/acc_imagenet --chunk 8 \
       --snapshot-every 80 --eval-count 60 --demo-count 4 >> $LOG 2>&1
-    if [ ! -f /tmp/acc_imagenet/result.json ]; then
+    if [ ! -f runs/acc_imagenet/result.json ]; then
       say "imagenet e2e attempt ended; retrying"; sleep 90; continue
     fi
     say "imagenet e2e DONE"

@@ -49,7 +49,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/frcnn_tpu_jax_cache")
+                          "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
