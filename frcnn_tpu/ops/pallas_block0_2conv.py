@@ -274,7 +274,11 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
     if out_dtype is None:
         out_dtype = compute_dtype
     if tr is None:
-        tr = _pick_tr(Ho)
+        # bf16 conv1 doubles the Y/S scratch footprint vs int8; at
+        # tr=9/f=64/ws=512 the non-quant mode overflows Mosaic's 16M
+        # scoped-vmem budget by 1.1M (TPU-measured, round 3). Shorter
+        # strips bound it; the int8 mode keeps the taller strip.
+        tr = _pick_tr(Ho, cap=10 if quant else 5)
     assert Ho % tr == 0, f"strip height {tr} must divide Ho={Ho}"
     nsteps = Ho // tr
     ws = -(-(Wo + 2) // 128) * 128

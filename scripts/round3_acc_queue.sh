@@ -62,6 +62,16 @@ while [ ! -f $OUT/QUEUE_DONE ]; do
         --eval-count 240 >> $LOG 2>&1 || { say "gate sweep failed rc=$?"; sleep 90; continue; }
   fi
 
+  # publish evidence into the tracked docs/ tree so it survives in git even
+  # if the session ends before a manual copy
+  DOCS=docs/accuracy
+  cp -f $OUT/result.json $DOCS/photo_12500_result.json 2>/dev/null
+  cp -f $OUT/quant_parity.json $DOCS/photo_12500_quant_parity.json 2>/dev/null
+  cp -f $OUT/gate_sweep.json $DOCS/photo_12500_gate_sweep.json 2>/dev/null
+  for f in $OUT/demo*.jpg; do
+    [ -f "$f" ] || continue
+    cp -f "$f" $DOCS/photo_12500_$(basename "$f")
+  done
   touch $OUT/QUEUE_DONE
-  say "=== round3 acc queue DONE"
+  say "=== round3 acc queue DONE (artifacts published to $DOCS)"
 done
