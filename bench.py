@@ -145,6 +145,10 @@ def bench_config(mode: str):
         # keep the 2-conv kernel's conv1 in bf16 even under int8s — the
         # apples-to-apples point for the in-kernel int8 MXU measurement
         cfg = cfg.replace(s2d_block0_int8=False)
+    if "b0roll" in mode:
+        # original roll-layout 2-conv kernel (comparison point for the
+        # zg layout, which is the default)
+        cfg = cfg.replace(s2d_block0_layout="roll")
     return cfg
 
 

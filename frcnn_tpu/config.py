@@ -276,6 +276,13 @@ class Config:
     # comparison point for measurements).
     s2d_block0_int8: bool = True
 
+    # Fused 2-conv block0 kernel layout: "zg" writes conv0 output straight
+    # into the group-ordered conv1 stack (no per-row copies/rolls; the
+    # default), "roll" keeps the original per-row tap-scratch assembly
+    # (comparison point; TPU round 3: its f32 lane rolls dominated the
+    # kernel). See ops/pallas_block0_2conv.py.
+    s2d_block0_layout: str = "zg"
+
     @property
     def num_classes_with_bg(self) -> int:
         return self.class_count + 1

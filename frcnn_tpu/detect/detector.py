@@ -234,6 +234,7 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                     w1t, conv1_bias,
                     p0["block0_prelu1"]["slope"].reshape(()),
                     interpret=interpret, compute_dtype=cdt,
+                    layout=getattr(cfg, "s2d_block0_layout", "zg"),
                     **quant_kw,
                 ).transpose(0, 1, 3, 2)
             else:

@@ -32,6 +32,21 @@ Decomposition (same s2d input planes as the 1-conv kernel):
   direct 64-channel formulation (docs/perf_ceiling.md:60-74).
 * bias + PReLU + 4-phase max = the 2x2 pool (H, W even, so no ceil edge).
 
+zg layout (default): the per-row tap-scratch assembly above (the "roll"
+layout) turned out to dominate the kernel on TPU — the f32 lane rolls
+are pure VPU/relayout traffic (~3 ms/batch-16 at 450x800), and the int8
+conv1 matmul only bought 0.7 ms over bf16 because the matmuls were never
+the bottleneck. But the three lane shifts (0/+1/+2) are STATIC column
+offsets, so the conv0 epilogue can write each phase block directly into
+a group-ordered scratch ZG[(tr+2)*8F, ws]: ZG row r2 holds, per phase
+pair qy at qy*4F, the stack slots [shift0 p(2qy+1) @cols 1.., shift1
+p(2qy) @0.., shift1 p(2qy+1) @0.., shift2 p(2qy) @0.. (data x>=1)]. In
+that order the K-stack [12F, WS] of output row r, pool phase ry is the
+CONTIGUOUS sublane window ZG[8F*r + 4F*(1+ry) :][:12F] — groups
+(ry..ry+2) == (row r qy=1 | row r+1 qy=0 | row r+1 qy=1 | row r+2 qy=0)
+interleave exactly as GROUPS orders them. The row loop is then just two
+MXU matmuls per row: zero copies, zero rolls, no S scratch.
+
 Halo: conv1 at strip rows [s, s+tr) needs y0 rows [s-1, s+tr+1); conv0
 recomputes the two halo rows per strip (conv0 is ~5% of the block's
 FLOPs). Halo view rows arrive as single-row BlockSpecs with clamped index
@@ -119,7 +134,7 @@ def block0_2conv_weights_q_jnp(w1q):
 
 
 def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int,
-            quant: bool = False):
+            quant: bool = False, zg: bool = True):
     (cm, ct, cb, lm, lt, lb) = (refs[0:4], refs[4:8], refs[8:12],
                                 refs[12:16], refs[16:20], refs[20:24])
     wt0_ref, b0_ref, w1t_ref, b1_ref, slopes_ref = refs[24:29]
@@ -127,9 +142,15 @@ def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int,
         # int8 conv1: per-(rx,out-channel) dequant scale column [2F, 1]
         # (= s_y * s_w[o]) and 1/s_y in SMEM for the conv0 epilogue quant
         wscale_ref, inv_sy_ref = refs[29:31]
-        out_ref, P, Y, S = refs[31:35]
+        rest = refs[31:]
     else:
-        out_ref, P, Y, S = refs[29:33]
+        rest = refs[29:]
+    if zg:
+        # Group-ordered y0 scratch (see the module docstring's "zg layout"
+        # note): ZG[(tr+2)*8F, ws]; no Y/S, no rolls.
+        out_ref, P, ZG = rest
+    else:
+        out_ref, P, Y, S = rest
     ws = P.shape[1] // (tr + 2)
     t = pl.program_id(1)
 
@@ -179,49 +200,103 @@ def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int,
             y = jnp.clip(jnp.round(y * inv_sy_ref[0, 0]), -127.0, 127.0)
         for r2 in range(c0, c1):
             o = (r2 - c0) * ws
+            if not zg:
+                for p in range(4):
+                    Y[r2, p * f:(p + 1) * f, 1:1 + wo] = (
+                        y[p * f:(p + 1) * f, o:o + wo].astype(Y.dtype)
+                    )
+                Y[r2, :, 0:1] = jnp.zeros((4 * f, 1), Y.dtype)
+                Y[r2, :, 1 + wo:2 + wo] = jnp.zeros((4 * f, 1), Y.dtype)
+                continue
+            # zg layout: the three lane shifts of the roll layout are
+            # STATIC column offsets, so write each phase straight into its
+            # group slots — the row loop then needs no copies or rolls at
+            # all. Within ZG row r2 (8F sublanes at r2*8F), phase-pair qy
+            # occupies [qy*4F, (qy+1)*4F) in the original stack order:
+            #   +0: shift-0 slot, phase 2qy+1, data at cols [1, 1+wo)
+            #   +F: shift+1 slot, phase 2qy,   data at cols [0, wo)
+            #  +2F: shift+1 slot, phase 2qy+1, data at cols [0, wo)
+            #  +3F: shift+2 slot, phase 2qy,   data x>=1 at cols [0, wo-1)
+            # Out-of-window columns (>= wo per slot) stay garbage: the
+            # matmul's columns >= wo are discarded by out[:, :wo], and a
+            # matmul never mixes lanes, so garbage cannot leak left.
+            base = r2 * 8 * f
             for p in range(4):
-                Y[r2, p * f:(p + 1) * f, 1:1 + wo] = (
-                    y[p * f:(p + 1) * f, o:o + wo].astype(Y.dtype)
-                )
-            Y[r2, :, 0:1] = jnp.zeros((4 * f, 1), Y.dtype)
-            Y[r2, :, 1 + wo:2 + wo] = jnp.zeros((4 * f, 1), Y.dtype)
+                yp = y[p * f:(p + 1) * f, o:o + wo]
+                qy = p // 2
+                if p % 2:  # odd phase: shift-0 slot + shift+1 odd slot
+                    d0 = base + qy * 4 * f
+                    ZG[d0:d0 + f, 1:1 + wo] = yp.astype(ZG.dtype)
+                    ZG[d0:d0 + f, 0:1] = jnp.zeros((f, 1), ZG.dtype)
+                    d2 = d0 + 2 * f
+                    ZG[d2:d2 + f, 0:wo] = yp.astype(ZG.dtype)
+                else:      # even phase: shift+1 even slot + shift+2 slot
+                    d1 = base + qy * 4 * f + f
+                    ZG[d1:d1 + f, 0:wo] = yp.astype(ZG.dtype)
+                    d3 = d1 + 2 * f
+                    if wo > 1:
+                        ZG[d3:d3 + f, 0:wo - 1] = y[
+                            p * f:(p + 1) * f, o + 1:o + wo
+                        ].astype(ZG.dtype)
+                    ZG[d3:d3 + f, wo - 1:wo] = jnp.zeros((f, 1), ZG.dtype)
 
     # out-of-image halo rows are conv1 zero padding (fine rows -1 and H)
     @pl.when(t == 0)
     def _():
-        Y[0] = jnp.zeros_like(Y[0])
+        if zg:
+            ZG[0:8 * f, :] = jnp.zeros((8 * f, ZG.shape[1]), ZG.dtype)
+        else:
+            Y[0] = jnp.zeros_like(Y[0])
 
     @pl.when(t == nsteps - 1)
     def _():
-        Y[tr + 1] = jnp.zeros_like(Y[tr + 1])
+        if zg:
+            ZG[(tr + 1) * 8 * f:(tr + 2) * 8 * f, :] = jnp.zeros(
+                (8 * f, ZG.shape[1]), ZG.dtype
+            )
+        else:
+            Y[tr + 1] = jnp.zeros_like(Y[tr + 1])
 
     # ---- conv1 + PReLU + pool, one output row at a time ----
-    WS = Y.shape[2]
     s1 = slopes_ref[0, 1]
     for r in range(tr):
-        for rgi, (ay, qy) in enumerate(GROUPS):
-            row = r + 1 + ay
-            base = rgi * 4 * f
-            # col-group 0: (ax=-1, qx=1) -> phase 2qy+1, lane shift 0
-            S[base:base + f, :] = Y[
-                row, (2 * qy + 1) * f:(2 * qy + 2) * f, :
-            ]
-            # Mosaic's lane rotate is 32-bit-only ("Rotate with non-32-bit
-            # data" on bf16): upcast the slice, roll f32, cast back.
-            # col-groups 1,2: (ax=0, qx=0/1) -> adjacent phases, shift +1
-            S[base + f:base + 3 * f, :] = pltpu.roll(
-                Y[row, 2 * qy * f:(2 * qy + 2) * f, :].astype(jnp.float32),
-                WS - 1, 1,
-            ).astype(S.dtype)
-            # col-group 3: (ax=1, qx=0) -> phase 2qy, shift +2
-            S[base + 3 * f:base + 4 * f, :] = pltpu.roll(
-                Y[row, 2 * qy * f:(2 * qy + 1) * f, :].astype(jnp.float32),
-                WS - 2, 1,
-            ).astype(S.dtype)
+        if not zg:
+            WS = Y.shape[2]
+            for rgi, (ay, qy) in enumerate(GROUPS):
+                row = r + 1 + ay
+                base = rgi * 4 * f
+                # col-group 0: (ax=-1, qx=1) -> phase 2qy+1, lane shift 0
+                S[base:base + f, :] = Y[
+                    row, (2 * qy + 1) * f:(2 * qy + 2) * f, :
+                ]
+                # Mosaic's lane rotate is 32-bit-only ("Rotate with
+                # non-32-bit data" on bf16): upcast, roll f32, cast back.
+                # col-groups 1,2: (ax=0, qx=0/1) -> adjacent phases, +1
+                S[base + f:base + 3 * f, :] = pltpu.roll(
+                    Y[row, 2 * qy * f:(2 * qy + 2) * f, :].astype(
+                        jnp.float32
+                    ),
+                    WS - 1, 1,
+                ).astype(S.dtype)
+                # col-group 3: (ax=1, qx=0) -> phase 2qy, shift +2
+                S[base + 3 * f:base + 4 * f, :] = pltpu.roll(
+                    Y[row, 2 * qy * f:(2 * qy + 1) * f, :].astype(
+                        jnp.float32
+                    ),
+                    WS - 2, 1,
+                ).astype(S.dtype)
         m = None
         for ry in range(2):
+            if zg:
+                # the K-stack for (r, ry) is a CONTIGUOUS 12F window of
+                # ZG: groups [ry, ry+3) == ZG rows starting at row r's
+                # qy=1 block (ry=0) or row r+1's qy=0 block (ry=1)
+                off = 8 * f * r + 4 * f * (1 + ry)
+                rhs = ZG[off:off + 12 * f, :]
+            else:
+                rhs = S[ry * 4 * f:ry * 4 * f + 12 * f, :]
             z = jax.lax.dot_general(
-                w1t_ref[ry], S[ry * 4 * f:ry * 4 * f + 12 * f, :],
+                w1t_ref[ry], rhs,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32 if quant else jnp.float32,
             )  # [2f, WS]: rows [0:f] = phase (ry,0), [f:2f] = (ry,1)
@@ -246,7 +321,8 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
                        slope1, out_dtype=None, tr: int = None,
                        interpret: bool = False,
                        compute_dtype=jnp.bfloat16,
-                       w1_scales=None, act_scale=None):
+                       w1_scales=None, act_scale=None,
+                       layout: str = "zg"):
     """Run the fused 2-conv block0 kernel.
 
     Args:
@@ -264,9 +340,18 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
         When both are given, conv0 runs bf16 as usual but its output is
         quantized to int8 in-register and conv1 runs on the int8 MXU
         (2x the bf16 rate on v5e), dequantized in the epilogue.
+      layout: "zg" (default) writes conv0 output straight into the
+        group-ordered conv1 stack — the three lane shifts become static
+        column offsets at store time, each conv1 matmul reads a
+        contiguous 12F-sublane window, and the row loop does ZERO
+        copies/rolls (TPU-measured round 3: the roll-layout row loop's
+        f32 lane rolls, not the matmuls, dominated the kernel — int8
+        conv1 only bought 0.7 ms over bf16). "roll" keeps the original
+        Y+S formulation for comparison.
     Returns [B, Ho, F, Wo] (channels-middle) in ``out_dtype``
     (default ``compute_dtype``).
     """
+    assert layout in ("zg", "roll"), layout
     B, Ho, _, Wo = cviews[0].shape
     f4 = wt0.shape[0]
     f = f4 // 4
@@ -274,11 +359,13 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
     if out_dtype is None:
         out_dtype = compute_dtype
     if tr is None:
-        # bf16 conv1 doubles the Y/S scratch footprint vs int8; at
-        # tr=9/f=64/ws=512 the non-quant mode overflows Mosaic's 16M
-        # scoped-vmem budget by 1.1M (TPU-measured, round 3). Shorter
-        # strips bound it; the int8 mode keeps the taller strip.
-        tr = _pick_tr(Ho, cap=10 if quant else 5)
+        # roll layout: bf16 conv1 doubles the Y/S scratch footprint vs
+        # int8; at tr=9/f=64/ws=512 the non-quant mode overflows Mosaic's
+        # 16M scoped-vmem budget by 1.1M (TPU-measured, round 3). The zg
+        # layout has no S scratch and no f32 roll temporaries, so both
+        # modes keep the tall strip.
+        cap = 10 if (quant or layout == "zg") else 5
+        tr = _pick_tr(Ho, cap=cap)
     assert Ho % tr == 0, f"strip height {tr} must divide Ho={Ho}"
     nsteps = Ho // tr
     ws = -(-(Wo + 2) // 128) * 128
@@ -288,7 +375,7 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
     lviews_rm = [v.astype(compute_dtype).transpose(0, 2, 1, 3)
                  for v in lviews]
     kern = functools.partial(_kernel, tr=tr, f=f, wo=Wo, nsteps=nsteps,
-                             quant=quant)
+                             quant=quant, zg=(layout == "zg"))
 
     cmain = pl.BlockSpec((1, tr, 8, Wo), lambda b, t: (b, t, 0, 0))
     lmain = pl.BlockSpec((1, tr, 4, Wo), lambda b, t: (b, t, 0, 0))
@@ -343,11 +430,18 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
             + extra_specs
         ),
         out_specs=pl.BlockSpec((1, tr, f, Wo), lambda b, t: (b, t, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((64, (tr + 2) * ws), compute_dtype),      # P
-            pltpu.VMEM((tr + 2, 4 * f, ws), yq_dtype),           # Y
-            pltpu.VMEM((16 * f, ws), yq_dtype),                  # S
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((64, (tr + 2) * ws), compute_dtype),  # P
+                pltpu.VMEM(((tr + 2) * 8 * f, ws), yq_dtype),    # ZG
+            ]
+            if layout == "zg"
+            else [
+                pltpu.VMEM((64, (tr + 2) * ws), compute_dtype),  # P
+                pltpu.VMEM((tr + 2, 4 * f, ws), yq_dtype),       # Y
+                pltpu.VMEM((16 * f, ws), yq_dtype),              # S
+            ]
+        ),
         interpret=interpret,
     )(
         *[v.astype(compute_dtype) for v in cviews],

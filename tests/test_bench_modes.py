@@ -64,3 +64,9 @@ def test_b0bf16_mode_disables_in_kernel_int8():
     cfg = bench.bench_config("large+int8s+pallas+s2d+b0bf16")
     assert cfg.s2d_block0_int8 is False
     assert bench.bench_config("large+int8s+pallas+s2d").s2d_block0_int8
+
+
+def test_b0roll_mode_selects_roll_layout():
+    cfg = bench.bench_config("large+int8s+pallas+s2d+b0roll")
+    assert cfg.s2d_block0_layout == "roll"
+    assert bench.bench_config("large+int8s+pallas+s2d").s2d_block0_layout == "zg"

@@ -57,14 +57,34 @@ def test_block0_2conv_parity(hw):
     got = block0_2conv_nhwc(x, w0, b0, 0.25, w1, b1, 0.1,
                             interpret=True).astype(jnp.float32)
     assert got.shape == ref.shape == (2, H // 2, W // 2, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.07, atol=0.12)
+
+
+@pytest.mark.parametrize("layout", ["zg", "roll"])
+def test_block0_2conv_layouts_parity(layout):
+    """Both kernel layouts against the XLA oracle (bf16 tolerance)."""
+    H, W = 12, 16
+    x, w0, b0, w1, b1 = _rand(0, 2, H, W)
+    ref = reference_block0_2conv(x, w0, b0, 0.25, w1, b1, 0.1)
+    lum4, chroma = pack_s2d(x)
+    cviews, lviews = views_from_s2d(lum4, chroma)
+    wt0, bias0 = block0_weights(w0, b0)
+    w1t = block0_2conv_weights(w1)
+    got = fused_block0_2conv(
+        cviews, lviews, wt0, bias0, 0.25, w1t, b1, 0.1,
+        interpret=True, layout=layout,
+    ).astype(jnp.float32).transpose(0, 1, 3, 2)
+    assert got.shape == ref.shape == (2, H // 2, W // 2, 64)
     # two chained bf16 matmuls: tolerance at bf16 resolution of the
     # (conv1-amplified) magnitudes
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0.07, atol=0.12)
 
 
-def test_block0_2conv_fp32_exact():
-    """compute_dtype=float32 pins every border/halo/roll index decision:
+@pytest.mark.parametrize("layout", ["zg", "roll"])
+def test_block0_2conv_fp32_exact(layout):
+    """compute_dtype=float32 pins every border/halo/shift index decision:
     any mis-shifted tap or unmasked halo row is a gross error, far above
     fp32 tolerance."""
     H, W = 20, 24
@@ -75,7 +95,7 @@ def test_block0_2conv_fp32_exact():
     w1t = block0_2conv_weights(w1)
     got = fused_block0_2conv(
         cviews, lviews, wt0, bias0, 0.25, w1t, b1, 0.1,
-        interpret=True, compute_dtype=jnp.float32,
+        interpret=True, compute_dtype=jnp.float32, layout=layout,
     ).transpose(0, 1, 3, 2)
     ref = reference_block0_2conv(x, w0, b0, 0.25, w1, b1, 0.1)
     assert got.dtype == jnp.float32
@@ -83,10 +103,12 @@ def test_block0_2conv_fp32_exact():
                                rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.parametrize("layout", ["zg", "roll"])
 @pytest.mark.parametrize("tr", [1, 2, 5, 10])
-def test_block0_2conv_strip_heights_agree(tr):
+def test_block0_2conv_strip_heights_agree(tr, layout):
     """Every valid strip height yields identical results — halo rows are
-    recomputed, not approximated."""
+    recomputed, not approximated. The two layouts must also agree
+    EXACTLY in f32 (same taps, same arithmetic order)."""
     H, W = 20, 16  # Ho=10: tr in {1,2,5,10} all divide
     x, w0, b0, w1, b1 = _rand(2, 1, H, W)
     lum4, chroma = pack_s2d(x)
@@ -95,9 +117,9 @@ def test_block0_2conv_strip_heights_agree(tr):
     w1t = block0_2conv_weights(w1)
     kw = dict(interpret=True, compute_dtype=jnp.float32)
     ref = fused_block0_2conv(cviews, lviews, wt0, bias0, 0.2, w1t, b1,
-                             0.1, tr=10, **kw)
+                             0.1, tr=10, layout="roll", **kw)
     got = fused_block0_2conv(cviews, lviews, wt0, bias0, 0.2, w1t, b1,
-                             0.1, tr=tr, **kw)
+                             0.1, tr=tr, layout=layout, **kw)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
@@ -163,7 +185,8 @@ def quantized_reference_conv1(y, w1q, s_w, s_y, b1, slope1):
     return ceil_max_pool_2x2(z)
 
 
-def test_block0_2conv_quant_fp32_exact():
+@pytest.mark.parametrize("layout", ["zg", "roll"])
+def test_block0_2conv_quant_fp32_exact(layout):
     """int8-conv1 mode, f32 compute: the kernel must reproduce the XLA
     int8 formulation (quantize y0 -> s8 conv -> dequant) to float
     rounding — int32 accumulation is exact, so any tap/scale mistake is a
@@ -186,7 +209,7 @@ def test_block0_2conv_quant_fp32_exact():
     got = fused_block0_2conv(
         cviews, lviews, wt0, bias0, 0.25, w1t, b1, 0.1,
         interpret=True, compute_dtype=jnp.float32,
-        w1_scales=s_w, act_scale=s_y,
+        w1_scales=s_w, act_scale=s_y, layout=layout,
     ).transpose(0, 1, 3, 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
