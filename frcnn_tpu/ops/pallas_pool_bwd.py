@@ -74,8 +74,13 @@ def _bwd_kernel(x_ref, g_ref, dx_ref, *, H, HT, W, C):
     y = jnp.maximum(m01, swap(m01))      # window max, at every fine column
     e0 = a0 == y
     e1 = a1 == y
-    p0 = swap(e0)
-    p1 = swap(e1)
+    # Partner equality WITHOUT rolling the bool masks (Mosaic
+    # tpu.dynamic_rotate is 32-bit-only; an i1 rotate fails verification):
+    # y is pair-symmetric (y[w] == y[w^1] by construction), so
+    # swap(e0)[w] = (a0[w^1] == y[w^1]) = (swap(a0)[w] == y[w]). Rolling
+    # the f32 operands gives bit-identical routing with f32-only rotates.
+    p0 = swap(a0) == y
+    p1 = swap(a1) == y
     odd = ~even
     # first-max routing in SelectAndScatter's window scan order
     route0 = e0 & ~(odd & p0)
