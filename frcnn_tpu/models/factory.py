@@ -5,6 +5,7 @@ declarative config; cnet input size = roi kh * kw * last block filters.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -31,6 +32,11 @@ def create_models(cfg: Config) -> Tuple[ProposalNet, ClassificationNet]:
     pool_vjp = {"on": "pallas", "interpret": "pallas_interpret"}.get(
         cfg.pallas_mode, "xla"
     )
+    # Profiling override: FRCNN_POOL_VJP=xla|pallas|pallas_interpret forces
+    # the pool-backward implementation independently of pallas_mode, so the
+    # first-max kernel can be A/B-timed against SelectAndScatter in an
+    # otherwise-identical train step (scripts/round3_followup_queue.sh).
+    pool_vjp = os.environ.get("FRCNN_POOL_VJP", pool_vjp)
     pnet = ProposalNet(model_cfg=cfg.model, dtype=dt, pool_vjp=pool_vjp)
     cnet = ClassificationNet(
         model_cfg=cfg.model, num_classes_with_bg=cfg.num_classes_with_bg, dtype=dt
