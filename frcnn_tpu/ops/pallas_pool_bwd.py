@@ -70,17 +70,22 @@ def _bwd_kernel(x_ref, g_ref, dx_ref, *, H, HT, W, C):
         entries land only in lanes the parity select discards."""
         return jnp.where(even, pltpu.roll(v, W - 1, 1), pltpu.roll(v, 1, 1))
 
-    m01 = jnp.maximum(a0, a1)
-    y = jnp.maximum(m01, swap(m01))      # window max, at every fine column
-    e0 = a0 == y
-    e1 = a1 == y
-    # Partner equality WITHOUT rolling the bool masks (Mosaic
+    # Partner values WITHOUT rolling the bool masks (Mosaic
     # tpu.dynamic_rotate is 32-bit-only; an i1 rotate fails verification):
     # y is pair-symmetric (y[w] == y[w^1] by construction), so
     # swap(e0)[w] = (a0[w^1] == y[w^1]) = (swap(a0)[w] == y[w]). Rolling
     # the f32 operands gives bit-identical routing with f32-only rotates.
-    p0 = swap(a0) == y
-    p1 = swap(a1) == y
+    # swap is a fixed element permutation, so it commutes with elementwise
+    # max: swap(max(a0,a1)) == max(swap(a0), swap(a1)) — the window max
+    # needs NO third swap (4 sublane rolls per grid step, not 6; the rolls
+    # are the kernel's dominant non-HBM cost).
+    s0 = swap(a0)
+    s1 = swap(a1)
+    y = jnp.maximum(jnp.maximum(a0, a1), jnp.maximum(s0, s1))
+    e0 = a0 == y
+    e1 = a1 == y
+    p0 = s0 == y
+    p1 = s1 == y
     odd = ~even
     # first-max routing in SelectAndScatter's window scan order
     route0 = e0 & ~(odd & p0)
