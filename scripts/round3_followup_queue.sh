@@ -46,6 +46,10 @@ while [ ! -f $MARK/ALL_DONE ]; do
   run_stage poolbwd_iso 2400 python scripts/bench_pool_bwd.py 30 8 || { sleep 90; continue; }
   run_stage train8_ss 2400 env FRCNN_POOL_VJP=xla python scripts/profile_train.py 8 20 step pallas || { sleep 90; continue; }
   run_stage train16_ss 2400 env FRCNN_POOL_VJP=xla python scripts/profile_train.py 16 20 step pallas || { sleep 90; continue; }
+  # in-situ re-measure of the improved (4-roll) first-max kernel — the
+  # 55.8/106.0 numbers in runs/r3perf were the 6-roll version
+  run_stage train8_pk 2400 env FRCNN_POOL_VJP=pallas python scripts/profile_train.py 8 20 step pallas || { sleep 90; continue; }
+  run_stage train16_pk 2400 env FRCNN_POOL_VJP=pallas python scripts/profile_train.py 16 20 step pallas || { sleep 90; continue; }
 
   # imagenet-scale e2e (moved verbatim from round3_perf2_queue.sh)
   if [ ! -f runs/acc_imagenet/result.json ]; then
