@@ -157,11 +157,9 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
     import jax.numpy as jnp
     import numpy as np
     # persistent compile cache: repeated bench invocations skip XLA compile
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from frcnn_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from frcnn_tpu.detect.detector import build_detect_fn
     from frcnn_tpu.geometry.anchors import AnchorGenerator

@@ -26,17 +26,26 @@ def cnet_input_dim(cfg: Config) -> int:
 
 def create_models(cfg: Config) -> Tuple[ProposalNet, ClassificationNet]:
     dt = compute_dtype(cfg)
-    # pallas_mode also selects the pool BACKWARD kernel (first-max routing
-    # in VMEM, ops/pallas_pool_bwd.py). Forward programs are identical, so
-    # detect-only consumers are unaffected by the choice.
-    pool_vjp = {"on": "pallas", "interpret": "pallas_interpret"}.get(
-        cfg.pallas_mode, "xla"
-    )
+    # Pool BACKWARD implementation. The first-max Pallas kernel
+    # (ops/pallas_pool_bwd.py) wins its isolated bench (7.6 vs 8.2 ms) but
+    # LOSES in-situ — custom-call boundary relayouts cost more than the
+    # kernel saves: full train step 49.5 ms/b8 (XLA SelectAndScatter) vs
+    # 55.9 ms/b8 (Pallas), 95.6 vs 105.2 ms/b16, measured round 3
+    # (scripts/round3_followup.log). XLA is therefore the default on EVERY
+    # pallas_mode; the kernel stays available behind the override below.
+    pool_vjp = "xla"
     # Profiling override: FRCNN_POOL_VJP=xla|pallas|pallas_interpret forces
     # the pool-backward implementation independently of pallas_mode, so the
     # first-max kernel can be A/B-timed against SelectAndScatter in an
     # otherwise-identical train step (scripts/round3_followup_queue.sh).
-    pool_vjp = os.environ.get("FRCNN_POOL_VJP", pool_vjp)
+    env_vjp = os.environ.get("FRCNN_POOL_VJP")
+    if env_vjp:
+        if env_vjp not in ("xla", "pallas", "pallas_interpret"):
+            raise ValueError(
+                f"FRCNN_POOL_VJP={env_vjp!r}: expected one of "
+                "xla | pallas | pallas_interpret"
+            )
+        pool_vjp = env_vjp
     pnet = ProposalNet(model_cfg=cfg.model, dtype=dt, pool_vjp=pool_vjp)
     cnet = ClassificationNet(
         model_cfg=cfg.model, num_classes_with_bg=cfg.num_classes_with_bg, dtype=dt

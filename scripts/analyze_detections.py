@@ -45,10 +45,9 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    except Exception:
-        pass
+    from frcnn_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from frcnn_tpu.config import Config
     from frcnn_tpu.data.pipeline import BatchIterator

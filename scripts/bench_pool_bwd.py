@@ -24,8 +24,9 @@ import numpy as np
 INTERP = os.environ.get("FRCNN_TPU_PLATFORM") == "cpu"
 if os.environ.get("FRCNN_TPU_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["FRCNN_TPU_PLATFORM"])
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from frcnn_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 from frcnn_tpu.models.layers import ceil_max_pool_2x2
 from frcnn_tpu.ops.pallas_pool_bwd import _pool_bwd_pallas

@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from frcnn_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 G, A = 32, 26544
 BATCH = 8

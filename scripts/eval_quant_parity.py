@@ -34,18 +34,22 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--eval-count", type=int, default=24)
     ap.add_argument("--calib-count", type=int, default=8)
+    ap.add_argument("--modes", default=None,
+                    help="comma list; default = the four headline modes. "
+                    "Extra bisection modes: bf16_pallas, bf16_pallas_s2d, "
+                    "int8_static_pallas (isolate pallas kernels / s2d "
+                    "frontend / quantization from each other)")
+    ap.add_argument("--out", default="quant_parity.json",
+                    help="output filename inside --run")
     args = ap.parse_args()
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from frcnn_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
 
@@ -77,22 +81,31 @@ def main():
     )(jnp.asarray(cal_imgs), jnp.asarray(cal_hws))
 
     on_cpu = jax.default_backend() == "cpu"
+    pl_mode = "interpret" if on_cpu else "on"
+    pcfg = cfg.replace(pallas_mode=pl_mode)
+    scfg = pcfg.replace(input_layout="s2d")
+    # The headline serving mode (int8_static_s2d) bundles THREE independent
+    # changes vs bf16: pallas kernels (NMS + ROI pool), the s2d block0
+    # frontend, and int8 weights/static act scales. The extra modes below
+    # flip one axis at a time so an accuracy delta can be attributed.
     modes = {
         "bf16": dict(cfg=cfg, kw={}),
+        "bf16_pallas": dict(cfg=pcfg, kw={}),
+        "bf16_pallas_s2d": dict(cfg=scfg, kw={}),
         "int8_dynamic": dict(cfg=cfg, kw=dict(quantized=True)),
         "int8_static": dict(cfg=cfg, kw=dict(quantized=True,
                                              quant_calibration=calib)),
-        "int8_static_s2d": dict(
-            cfg=cfg.replace(
-                pallas_mode="interpret" if on_cpu else "on",
-                input_layout="s2d",
-            ),
-            kw=dict(quantized=True, quant_calibration=calib),
-        ),
+        "int8_static_pallas": dict(cfg=pcfg, kw=dict(
+            quantized=True, quant_calibration=calib)),
+        "int8_static_s2d": dict(cfg=scfg, kw=dict(
+            quantized=True, quant_calibration=calib)),
     }
+    default_modes = ["bf16", "int8_dynamic", "int8_static", "int8_static_s2d"]
+    selected = (args.modes.split(",") if args.modes else default_modes)
 
     results = {}
-    for name, spec in modes.items():
+    for name in selected:
+        spec = modes[name]
         det = Detector(spec["cfg"], params, stats, **spec["kw"])
         it = BatchIterator(cfg, manifest, seed=7)
         r = evaluate_map(cfg, det, it, max_images=args.eval_count)
@@ -104,10 +117,11 @@ def main():
         print(f"{name:16s} mAP={r['mAP']:.4f} "
               f"det={r['num_detections']}/{r['num_gt']}", flush=True)
 
-    base = results["bf16"]["mAP"]
-    for name, r in results.items():
-        r["mAP_delta_vs_bf16"] = r["mAP"] - base
-    out = os.path.join(args.run, "quant_parity.json")
+    if "bf16" in results:
+        base = results["bf16"]["mAP"]
+        for name, r in results.items():
+            r["mAP_delta_vs_bf16"] = r["mAP"] - base
+    out = os.path.join(args.run, args.out)
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")

@@ -21,19 +21,20 @@ Prints one JSON line per experiment.
 
 import functools
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+from frcnn_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 def _mm_kernel(a_ref, b_ref, o_ref, *, acc_dtype):

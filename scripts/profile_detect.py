@@ -29,8 +29,9 @@ import numpy as np
 # force-registers the remote backend and ignores env vars)
 if os.environ.get("FRCNN_TPU_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["FRCNN_TPU_PLATFORM"])
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from frcnn_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 from frcnn_tpu.config import duplo_config
 from frcnn_tpu.detect.detector import (

@@ -407,11 +407,9 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from frcnn_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from frcnn_tpu.data.importers import create_duplo_manifest
     from frcnn_tpu.data.pipeline import BatchIterator, PrefetchingIterator
