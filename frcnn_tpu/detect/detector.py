@@ -94,6 +94,128 @@ def _cut_sum(*arrays):
     return tot
 
 
+def compute_s2d_block0(cfg: Config, pnet, pnet_params, lum4, chroma):
+    """Fused Pallas block0 from a packed, normalized s2d input pair ->
+    [B, H/2, W/2, F] first-block output (ops/pallas_block0.py layouts).
+
+    Factored out of ``build_detect_fn`` so static int8 calibration
+    (:func:`calibrate_quantized_pnet`) records downstream activation scales
+    from the SAME block0 producer the serving program uses. Round-3 parity
+    bug: calibrating through the int8 qconv block0 while inference consumed
+    the fused-kernel output cost -0.020 mAP at the photo scale
+    (docs/accuracy/photo_12500_quant_parity.json; bisected to the
+    int8-static x s2d combination in runs/acc_photo/quant_parity_bisect.json
+    — s2d alone +0.0013, int8+pallas alone +0.0009 vs bf16).
+    """
+    from frcnn_tpu.models.factory import compute_dtype as _cdt
+    from frcnn_tpu.ops.pallas_block0 import (
+        block0_weights_jnp,
+        fused_block0,
+        views_from_s2d,
+    )
+
+    spec0 = cfg.model.layers[0]
+    interpret = cfg.pallas_mode == "interpret"
+    cdt = _cdt(cfg)
+    p0 = pnet_params
+    wt, bias = block0_weights_jnp(
+        p0["block0_conv0"]["kernel"], p0["block0_conv0"]["bias"]
+    )
+    cviews, lviews = views_from_s2d(lum4, chroma, out_dtype=cdt)
+    if spec0.conv_steps == 2:
+        # vgg_large-style 2-conv first block: the fused 2-conv
+        # kernel keeps BOTH full-resolution activations out of HBM
+        from frcnn_tpu.ops.pallas_block0_2conv import (
+            block0_2conv_weights_jnp,
+            block0_2conv_weights_q_jnp,
+            fused_block0_2conv,
+        )
+
+        # int8 conv1 inside the kernel when serving the int8s
+        # path (QuantizedPNetAdapter with calibrated act scales):
+        # same models/quant.py quantization, int8 MXU rate
+        q1 = (getattr(pnet, "qparams", None) or {}).get("block0_conv1")
+        s_y = (getattr(pnet, "act_scales", None) or {}).get("block0_conv1")
+        quant_kw = {}
+        if (q1 is not None and s_y is not None
+                and getattr(cfg, "s2d_block0_int8", True)):
+            w1t = block0_2conv_weights_q_jnp(q1["w_int8"])
+            conv1_bias = q1["bias"]
+            quant_kw = dict(w1_scales=q1["scale"], act_scale=s_y)
+        else:
+            w1t = block0_2conv_weights_jnp(
+                p0["block0_conv1"]["kernel"].astype(jnp.float32)
+            )
+            conv1_bias = p0["block0_conv1"]["bias"]
+        b0 = fused_block0_2conv(
+            cviews, lviews, wt, bias,
+            p0["block0_prelu0"]["slope"].reshape(()),
+            w1t, conv1_bias,
+            p0["block0_prelu1"]["slope"].reshape(()),
+            interpret=interpret, compute_dtype=cdt,
+            layout=getattr(cfg, "s2d_block0_layout", "zg"),
+            **quant_kw,
+        )
+    else:
+        b0 = fused_block0(
+            cviews, lviews, wt, bias,
+            p0["block0_prelu0"]["slope"].reshape(()),
+            interpret=interpret, compute_dtype=cdt,
+        )
+    return b0.transpose(0, 1, 3, 2)
+
+
+def calibrate_quantized_pnet(cfg: Config, pnet, params, calib_images):
+    """Record static int8 activation scales through the cfg's OWN serving
+    path, so the calibration distribution matches what inference feeds each
+    conv. ``calib_images``: [N, H, W, 3] already-normalized images.
+
+    - nhwc layout: the plain dynamic-forward recording
+      (``models/quant.py::calibrate_pnet_scales``) — block0 runs int8 in
+      both calibration and inference, consistent.
+    - s2d layout: block0 at inference comes from the fused Pallas kernel
+      and is SKIPPED in the quant forward, so calibration packs the batch,
+      computes ``block0_out`` with the same kernel, and records downstream
+      scales from that. For 2-conv first blocks, ``block0_conv1``'s scale
+      (which the kernel uses to quantize its in-kernel conv1 input) is
+      recorded from the conv0+PReLU activation computed in XLA — the same
+      values the kernel sees modulo bf16 rounding. The kernel runs its
+      bf16 conv1 during this calibration pass (scales don't exist yet);
+      the int8-conv1 inference output differs only by quantization error,
+      second-order for the downstream scales.
+    """
+    if getattr(cfg, "input_layout", "nhwc") != "s2d":
+        pnet.calibrate(calib_images)
+        return
+
+    from frcnn_tpu.ops.pallas_block0 import pack_s2d_np
+
+    calib = np.asarray(jax.device_get(calib_images), np.float32)
+    lum4, chroma = pack_s2d_np(calib)
+    b0 = jax.jit(
+        lambda l, c: compute_s2d_block0(cfg, pnet, params["pnet"], l, c)
+    )(jnp.asarray(lum4), jnp.asarray(chroma))
+    extra = {}
+    spec0 = cfg.model.layers[0]
+    if spec0.conv_steps == 2:
+        from frcnn_tpu.models.factory import compute_dtype as _cdt
+
+        p0 = params["pnet"]
+        cdt = _cdt(cfg)
+        x = jnp.asarray(calib).astype(cdt)
+        y = jax.lax.conv_general_dilated(
+            x, p0["block0_conv0"]["kernel"].astype(cdt), (1, 1),
+            [(spec0.padH, spec0.padH), (spec0.padW, spec0.padW)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p0["block0_conv0"]["bias"].astype(cdt)
+        slope = p0["block0_prelu0"]["slope"].reshape(()).astype(cdt)
+        y = jnp.where(y >= 0, y, slope * y)
+        extra["block0_conv1"] = jnp.maximum(
+            jnp.max(jnp.abs(y)).astype(jnp.float32) / 127.0, 1e-12
+        )
+    pnet.calibrate(calib_images, block0_out=b0, extra_scales=extra)
+
+
 def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                     pnet: ProposalNet, cnet: ClassificationNet,
                     normalize_inputs: bool = True,
@@ -179,11 +301,6 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
         )
         if s2d:
             from frcnn_tpu.ops.normalization import normalize_s2d
-            from frcnn_tpu.ops.pallas_block0 import (
-                block0_weights_jnp,
-                fused_block0,
-                views_from_s2d,
-            )
 
             lum4, chroma = images
             if normalize_inputs:
@@ -191,58 +308,7 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                     lambda l, ch, hw: normalize_s2d(l, ch, hw[0], hw[1],
                                                     **norm_kw)
                 )(lum4, chroma, true_hw)
-            from frcnn_tpu.models.factory import compute_dtype as _cdt
-
-            cdt = _cdt(cfg)
-            p0 = params["pnet"]
-            wt, bias = block0_weights_jnp(
-                p0["block0_conv0"]["kernel"], p0["block0_conv0"]["bias"]
-            )
-            cviews, lviews = views_from_s2d(lum4, chroma, out_dtype=cdt)
-            if spec0.conv_steps == 2:
-                # vgg_large-style 2-conv first block: the fused 2-conv
-                # kernel keeps BOTH full-resolution activations out of HBM
-                from frcnn_tpu.ops.pallas_block0_2conv import (
-                    block0_2conv_weights_jnp,
-                    block0_2conv_weights_q_jnp,
-                    fused_block0_2conv,
-                )
-
-                # int8 conv1 inside the kernel when serving the int8s
-                # path (QuantizedPNetAdapter with calibrated act scales):
-                # same models/quant.py quantization, int8 MXU rate
-                q1 = (getattr(pnet, "qparams", None) or {}).get(
-                    "block0_conv1"
-                )
-                s_y = (getattr(pnet, "act_scales", None) or {}).get(
-                    "block0_conv1"
-                )
-                quant_kw = {}
-                if (q1 is not None and s_y is not None
-                        and getattr(cfg, "s2d_block0_int8", True)):
-                    w1t = block0_2conv_weights_q_jnp(q1["w_int8"])
-                    conv1_bias = q1["bias"]
-                    quant_kw = dict(w1_scales=q1["scale"], act_scale=s_y)
-                else:
-                    w1t = block0_2conv_weights_jnp(
-                        p0["block0_conv1"]["kernel"].astype(jnp.float32)
-                    )
-                    conv1_bias = p0["block0_conv1"]["bias"]
-                b0 = fused_block0_2conv(
-                    cviews, lviews, wt, bias,
-                    p0["block0_prelu0"]["slope"].reshape(()),
-                    w1t, conv1_bias,
-                    p0["block0_prelu1"]["slope"].reshape(()),
-                    interpret=interpret, compute_dtype=cdt,
-                    layout=getattr(cfg, "s2d_block0_layout", "zg"),
-                    **quant_kw,
-                ).transpose(0, 1, 3, 2)
-            else:
-                b0 = fused_block0(
-                    cviews, lviews, wt, bias,
-                    p0["block0_prelu0"]["slope"].reshape(()),
-                    interpret=interpret, compute_dtype=cdt,
-                ).transpose(0, 1, 3, 2)
+            b0 = compute_s2d_block0(cfg, pnet, params["pnet"], lum4, chroma)
             if stop_after == "b0":
                 return _cut_sum(b0)
             anchor_maps, fm = pnet.apply(
@@ -402,7 +468,7 @@ class Detector:
                 cfg.model, qparams, act_dtype=compute_dtype(cfg)
             )
             if quant_calibration is not None:
-                pnet.calibrate(quant_calibration)
+                calibrate_quantized_pnet(cfg, pnet, params, quant_calibration)
         self.pnet, self.cnet = pnet, cnet
         self.params = params
         self.batch_stats = batch_stats

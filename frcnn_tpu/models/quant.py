@@ -134,16 +134,21 @@ def quant_pnet_apply(qparams: Dict, model_cfg: ModelConfig, x,
 
 def calibrate_pnet_scales(qparams: Dict, model_cfg: ModelConfig, images,
                           act_dtype=jnp.bfloat16, margin: float = 1.0,
-                          ) -> Dict:
+                          block0_out=None) -> Dict:
     """Run the dynamic-quant forward once over a calibration batch and
     return {conv_name: activation scale} for use as static ``act_scales``.
 
     Scales are computed through the QUANTIZED forward (so each layer's
     scale reflects upstream quantization error, exactly matching what the
     dynamic path would use on this data). ``margin`` > 1 leaves headroom
-    against clipping on unseen inputs."""
+    against clipping on unseen inputs. ``block0_out``: precomputed
+    first-block output — pass the fused s2d kernel's output here when
+    calibrating for an s2d serving config, so block1's scale is recorded
+    from the distribution inference actually feeds it (block0's own conv
+    scales are then not recorded: s2d inference never runs them)."""
     record: Dict[str, Any] = {}
-    quant_pnet_apply(qparams, model_cfg, images, act_dtype, _record=record)
+    quant_pnet_apply(qparams, model_cfg, images, act_dtype, _record=record,
+                     block0_out=block0_out)
     return {k: v * margin for k, v in record.items()}
 
 
@@ -159,13 +164,19 @@ class QuantizedPNetAdapter:
         self.act_dtype = act_dtype
         self.act_scales = act_scales
 
-    def calibrate(self, images):
+    def calibrate(self, images, block0_out=None, extra_scales: Dict = None):
         """Record static activation scales from a calibration batch (see
         :func:`calibrate_pnet_scales`); subsequent ``apply`` calls skip the
-        per-conv dynamic abs-max reduce."""
-        self.act_scales = calibrate_pnet_scales(
-            self.qparams, self.model_cfg, images, self.act_dtype
+        per-conv dynamic abs-max reduce. ``block0_out``/``extra_scales``:
+        s2d-serving calibration (see
+        ``detect/detector.py::calibrate_quantized_pnet``)."""
+        scales = calibrate_pnet_scales(
+            self.qparams, self.model_cfg, images, self.act_dtype,
+            block0_out=block0_out,
         )
+        if extra_scales:
+            scales.update(extra_scales)
+        self.act_scales = scales
         return self
 
     def apply(self, variables, x, train: bool = False, rngs=None,

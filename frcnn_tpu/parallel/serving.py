@@ -57,7 +57,9 @@ class ShardedDetector:
                 cfg.model, qparams, act_dtype=compute_dtype(cfg)
             )
             if quant_calibration is not None:
-                pnet.calibrate(quant_calibration)
+                from frcnn_tpu.detect.detector import calibrate_quantized_pnet
+
+                calibrate_quantized_pnet(cfg, pnet, params, quant_calibration)
         self.pnet, self.cnet = pnet, cnet
         rep = replicated_sharding(mesh)
         self.params = jax.device_put(params, rep)

@@ -162,6 +162,68 @@ def test_static_scales_match_dynamic_on_calibration_data(setup):
         np.testing.assert_array_equal(np.asarray(md), np.asarray(ms))
 
 
+def test_s2d_calibration_records_scales_from_fused_block0(setup):
+    """Round-3 photo-scale parity bug: static scales were calibrated through
+    the int8-qconv block0 while s2d inference consumed the fused Pallas
+    kernel's block0 output (a different distribution) — -0.020 mAP.
+    calibrate_quantized_pnet must record block1's scale from the SAME fused
+    block0 the serving program computes: exactly absmax(b0)/127 here."""
+    cfg, pnet, params, qparams = setup
+    from frcnn_tpu.detect.detector import (
+        calibrate_quantized_pnet,
+        compute_s2d_block0,
+    )
+    from frcnn_tpu.ops.pallas_block0 import pack_s2d_np
+
+    scfg = cfg.replace(pallas_mode="interpret", input_layout="s2d")
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(5)
+    calib = rng.normal(0, 0.5, (2, H, W, 3)).astype(np.float32)
+    adapter = QuantizedPNetAdapter(scfg.model, qparams, act_dtype=jnp.float32)
+    calibrate_quantized_pnet(scfg, adapter, params, calib)
+    scales = adapter.act_scales
+    # block0's own conv never runs in s2d inference -> no scale recorded;
+    # 1-conv first block -> no in-kernel conv1 scale either
+    assert "block1_conv0" in scales
+    assert "block0_conv0" not in scales and "block0_conv1" not in scales
+
+    lum4, chroma = pack_s2d_np(calib)
+    b0 = compute_s2d_block0(
+        scfg, adapter, params["pnet"], jnp.asarray(lum4), jnp.asarray(chroma)
+    )
+    expect = max(float(jnp.max(jnp.abs(b0))) / 127.0, 1e-12)
+    np.testing.assert_allclose(
+        float(scales["block1_conv0"]), expect, rtol=1e-6
+    )
+
+
+def test_s2d_calibration_2conv_records_in_kernel_conv1_scale():
+    """2-conv first block (vgg_large-style): s2d calibration must also
+    record block0_conv1's scale (the fused kernel quantizes its in-kernel
+    conv1 input with it) from the conv0+PReLU activation."""
+    import dataclasses
+
+    from frcnn_tpu.detect.detector import calibrate_quantized_pnet
+    from frcnn_tpu.models.factory import init_params
+    from tests.tiny import tiny_config
+
+    cfg = tiny_config().replace(pallas_mode="interpret", input_layout="s2d")
+    layers = list(cfg.model.layers)
+    layers[0] = dataclasses.replace(layers[0], conv_steps=2)
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, layers=tuple(layers)))
+    params, _ = init_params(cfg, jax.random.PRNGKey(1))
+    qparams = quantize_pnet_params(params, cfg.model)
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(6)
+    calib = rng.normal(0, 0.5, (2, H, W, 3)).astype(np.float32)
+    adapter = QuantizedPNetAdapter(cfg.model, qparams, act_dtype=jnp.float32)
+    calibrate_quantized_pnet(cfg, adapter, params, calib)
+    assert "block0_conv1" in adapter.act_scales
+    assert float(adapter.act_scales["block0_conv1"]) > 0
+    assert "block1_conv0" in adapter.act_scales
+    assert "block0_conv0" not in adapter.act_scales
+
+
 def test_static_scales_close_to_fp32_on_unseen_data(setup):
     """Static scales calibrated on one batch must stay accurate on a
     different batch (the serving scenario)."""
