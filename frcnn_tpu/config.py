@@ -257,6 +257,13 @@ class Config:
     # (scripts/sweep_conf_gate.py); 0.2 is reference-parity.
     detect_confidence: float = 0.2
 
+    # Stage-1 proposal gate: keep anchors with P(fg) > detect_fg_threshold
+    # before the proposal NMS (``Detector.lua:54`` hardcodes 0.95).
+    # Configurable so recall lost UPSTREAM of the final confidence gate can
+    # be attributed/swept (docs/accuracy recall-attribution analysis);
+    # 0.95 is reference-parity.
+    detect_fg_threshold: float = 0.95
+
     # Serving input layout: 'nhwc' (images [B,H,W,3]) or 's2d' (host-packed
     # space-to-depth pair (lum4 [B,4,Hc,Wc], chroma [B,Hc,8,Wc]),
     # ops/pallas_block0.py::pack_s2d) — normalization runs on the planes

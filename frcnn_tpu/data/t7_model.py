@@ -8,25 +8,41 @@ freshly-built nets' flattened parameters). The flat layout is defined by
 ``pnet:parameters()`` then ``cnet:parameters()``, each tensor concatenated
 in module order, row-major.
 
-Module order. Both nets are nngraph ``gModule``s whose parameter order
-follows the graph's topological sort. For the pnet graph
-(``models/model_utilities.lua:38-60``) two sorts are consistent with the
-dependencies:
+Module order. The pnet is an nngraph ``gModule``
+(``models/model_utilities.lua:58`` builds it with outputs
+``{anchor1..anchor4, last_conv_output}``) whose ``parameters()`` order is
+``self.modules`` order, which ``gModule.__init`` fills by iterating
+``self.forwardnodes = fg:topsort()``. In torch/graph's public source,
+``Graph:topsort()`` reverses the graph and runs ``Node:dfs`` — a
+POST-ORDER depth-first visit (``func`` fires after recursing into
+children) — from the reversed graph's root, the gModule's dummy output
+node, whose children are the declared outputs in declaration order. A
+post-order DFS over the reversed graph emits every node after all of its
+producers, i.e. the derived rule is:
+
+    for each gModule OUTPUT in declaration order, emit its
+    not-yet-emitted producer chain, deepest (closest to input) first.
+
+For the reference's outputs ``{a1, a2, a3, a4, fm}`` with anchor inputs
+(3, 4, 4, 4) that is: b1 b2 b3 a1 b4 a2 a3 a4 — ``order='nngraph'``, the
+default. Two legacy layouts remain accepted:
 
 - ``blocks_first``: conv blocks 1..4, then anchor nets 1..4 — the node
-  *instantiation* order of ``model_utilities.lua:44-56``;
-- ``interleaved``: each anchor net immediately after the conv block it
-  consumes (anchor net i reads ``conv_outputs[a.input]``), i.e. for
-  vgg_small/vgg_large (anchor inputs 3,4,4,4): b1 b2 b3 a1 b4 a2 a3 a4.
+  *instantiation* order of ``model_utilities.lua:44-56`` (NOT what
+  nngraph produces, kept for round-2/3 exported files);
+- ``interleaved``: each anchor net right after the conv block it reads —
+  identical to ``nngraph`` for the reference configs (anchor inputs
+  3,4,4,4), differing only for hypothetical configs whose anchor
+  declaration order disagrees with block depth order.
 
-This box has no Torch7/Lua runtime, so the true nngraph order cannot be
-observed here; the importer therefore supports both and ``order='auto'``
-picks by plausibility: a PReLU's single learnable slope is initialized to
-0.25 and stays in (0, 2) in any sanely trained net, while a misaligned
-layout lands those 13+ scalars on arbitrary conv-weight entries (zero-mean,
-half negative) — the probability that ALL land in (0, 2) by chance is
-~2^-13. Export uses the same order (default ``blocks_first``), so
-import(export(p)) == p for either choice.
+No Torch7/Lua runtime exists on this box to observe the order directly,
+so ``order='auto'`` additionally verifies by plausibility: a PReLU's
+single learnable slope is initialized to 0.25 and stays in (0, 2) in any
+sanely trained net, while a misaligned layout lands those 13+ scalars on
+arbitrary conv-weight entries (zero-mean, half negative) — the
+probability that ALL land in (0, 2) by chance is ~2^-13. Ties prefer the
+derived ``nngraph`` order. Export uses the same order machinery, so
+import(export(p)) == p for every choice.
 
 What is NOT in the file: BatchNorm running statistics. Torch's
 ``parameters()`` returns only learnable tensors, so the reference's own
@@ -119,6 +135,20 @@ def _spec_entries(cfg: Config, order: str) -> List[Tuple[str, str, tuple]]:
             pnet += b
         for a in anchors:
             pnet += a
+    elif order == "nngraph":
+        # simulate gModule's topsort (see module docstring): per OUTPUT in
+        # declaration order (a1..a4 then the final feature map), emit its
+        # not-yet-emitted producer chain deepest-first. The conv blocks
+        # form a single path, so a chain is always a block prefix.
+        done = 0
+        for ai, a in enumerate(m.anchor_nets):
+            while done < a.input:        # a.input is 1-based block count
+                pnet += blocks[done]
+                done += 1
+            pnet += anchors[ai]
+        while done < len(blocks):        # fm output: remaining blocks
+            pnet += blocks[done]
+            done += 1
     elif order == "interleaved":
         emitted = [False] * len(anchors)
         for bi, b in enumerate(blocks):
@@ -150,12 +180,11 @@ def _spec_entries(cfg: Config, order: str) -> List[Tuple[str, str, tuple]]:
 
 
 def flat_size(cfg: Config) -> int:
-    return sum(int(np.prod(s)) for _, _, s in _spec_entries(cfg,
-                                                            "blocks_first"))
+    return sum(int(np.prod(s)) for _, _, s in _spec_entries(cfg, "nngraph"))
 
 
 def flatten_params(params: Dict, cfg: Config,
-                   order: str = "blocks_first") -> np.ndarray:
+                   order: str = "nngraph") -> np.ndarray:
     """Our param pytree -> the reference's flat float32 vector."""
     kh, kw = cfg.roi_pooling.kh, cfg.roi_pooling.kw
     c_last = cfg.model.layers[-1].filters
@@ -187,7 +216,7 @@ def flatten_params(params: Dict, cfg: Config,
 
 
 def unflatten_params(flat: np.ndarray, cfg: Config, params_template: Dict,
-                     order: str = "blocks_first") -> Dict:
+                     order: str = "nngraph") -> Dict:
     """The reference's flat vector -> a copy of ``params_template`` with
     every covered leaf replaced. Raises on length mismatch."""
     flat = np.asarray(flat, np.float32).reshape(-1)
@@ -245,20 +274,21 @@ def _slope_plausibility(flat: np.ndarray, cfg: Config, order: str) -> int:
 
 
 def diagnose_order(flat: np.ndarray, cfg: Config) -> Dict[str, int]:
-    """PReLU-slope plausibility per candidate order (see module docstring)."""
+    """PReLU-slope plausibility per candidate order (see module docstring).
+    ``nngraph`` is listed first so ties resolve to the derived order."""
     return {o: _slope_plausibility(flat, cfg, o)
-            for o in ("blocks_first", "interleaved")}
+            for o in ("nngraph", "blocks_first")}
 
 
 def choose_order(flat: np.ndarray, cfg: Config) -> str:
     scores = diagnose_order(flat, cfg)
-    return max(scores, key=lambda k: scores[k])
+    return max(scores, key=lambda k: scores[k])  # max is first-wins on ties
 
 
 def save_reference_model(path: str, params: Dict, cfg: Config,
                          options: Dict | None = None,
                          stats: Dict | None = None,
-                         order: str = "blocks_first") -> None:
+                         order: str = "nngraph") -> None:
     """Write a reference-loadable snapshot (``utilities.lua:126-134``)."""
     flat = flatten_params(params, cfg, order)
     weights = TorchTensor(

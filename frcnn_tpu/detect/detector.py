@@ -78,6 +78,13 @@ class DetectionResult(NamedTuple):
     confidence: jnp.ndarray      # [B, D] probability (exp of log-softmax)
     fg_score: jnp.ndarray        # [B, D] stage-1 P(fg)
     valid: jnp.ndarray           # [B, D] bool
+    # The FULL stage-1 NMS survivor set (independent of the classifier and
+    # the confidence gate), for recall attribution: does a missed GT lack
+    # proposal coverage (stage-1 problem) or did the classifier/conf gate
+    # reject a covering proposal (stage-2 problem)? Costs [B, D, 5] extra
+    # output bytes; detect/evaluation.py::proposal_coverage consumes it.
+    proposals: jnp.ndarray       # [B, D, 4] all NMS survivors
+    proposals_valid: jnp.ndarray  # [B, D] bool
 
 
 def _cut_sum(*arrays):
@@ -246,6 +253,7 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
     fm_loc = gen.fm_localizer
     bg = cfg.class_count
     conf_gate = getattr(cfg, "detect_confidence", CONFIDENCE_THRESHOLD)
+    fg_gate = getattr(cfg, "detect_fg_threshold", FG_THRESHOLD)
     use_pallas = cfg.pallas_mode in ("on", "interpret")
     interpret = cfg.pallas_mode == "interpret"
     s2d = getattr(cfg, "input_layout", "nhwc") == "s2d"
@@ -346,7 +354,7 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
              w.astype(jnp.float32), h.astype(jnp.float32)], axis=-1
         )  # [B, 4]
         keep = (
-            (p_fg > FG_THRESHOLD)
+            (p_fg > fg_gate)
             & B.overlaps(decoded, img_rect[:, None, :])
             & jax.vmap(
                 lambda th, tw: gen.fm_valid_mask(th, tw, fy=fy_d, fx=fx_d)
@@ -434,6 +442,8 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
             confidence=jnp.where(f_valid, f_conf, 0.0),
             fg_score=jnp.where(f_valid, f_fg, 0.0),
             valid=f_valid,
+            proposals=jnp.where(prop_valid[:, :, None], prop_boxes, 0.0),
+            proposals_valid=prop_valid,
         )
 
     return detect

@@ -80,13 +80,18 @@ def compute_map(detections: List[dict], ground_truth: List[dict],
 
 
 def collect_detections(detector, batch_iterator, max_images: int = 200,
-                       batch: int = 8):
+                       batch: int = 8, with_proposals: bool = False):
     """Run the detector over validation images; return the raw
     ``(detections, gts, num_images)`` lists (inputs of :func:`compute_map`).
     Exposed separately so post-hoc analyses (e.g. the confidence-gate
     sweep in ``scripts/sweep_conf_gate.py``) can re-score one detector
-    pass many ways without re-running the device program."""
+    pass many ways without re-running the device program.
+
+    ``with_proposals=True`` returns a fourth value — ``{image_id: [box]}``
+    of ALL stage-1 NMS survivors (``DetectionResult.proposals``), the input
+    of :func:`proposal_coverage`."""
     detections, gts = [], []
+    proposals: Dict[int, list] = {}
     done = 0
     img_id = 0
     while done < max_images:
@@ -106,6 +111,9 @@ def collect_detections(detector, batch_iterator, max_images: int = 200,
         boxes = np.asarray(out.boxes)
         classes = np.asarray(out.classes)
         conf = np.asarray(out.confidence)
+        if with_proposals:
+            props = np.asarray(out.proposals)
+            pvalid = np.asarray(out.proposals_valid)
         for b in range(len(rois_list)):
             for roi in rois_list[b]:
                 gts.append(
@@ -118,8 +126,14 @@ def collect_detections(detector, batch_iterator, max_images: int = 200,
                      "score": float(conf[b, k]),
                      "box": boxes[b, k].tolist()}
                 )
+            if with_proposals:
+                proposals[img_id] = [
+                    props[b, k].tolist() for k in np.nonzero(pvalid[b])[0]
+                ]
             img_id += 1
         done += len(rois_list)
+    if with_proposals:
+        return detections, gts, img_id, proposals
     return detections, gts, img_id
 
 
@@ -147,13 +161,52 @@ def matched_recall(detections: List[dict], ground_truth: List[dict],
     return len(matched) / len(ground_truth)
 
 
+def proposal_coverage(proposals: Dict[int, list], ground_truth: List[dict],
+                      iou_threshold: float = 0.5) -> Dict:
+    """Stage-1 recall attribution: for each GT box, is it covered (IoU >=
+    threshold, class-agnostic — stage 1 has no class) by ANY stage-1 NMS
+    survivor? Splits end-to-end recall loss into 'no proposal covered it'
+    (stage-1: fg gate / proposal NMS / caps) vs 'a proposal covered it but
+    the classifier+conf gate dropped it' (stage-2). The reference never
+    measured this (its eval was eyeballing drawn boxes); the round-3 photo
+    gate sweep being flat below conf 0.2 showed ~77% of GT was lost
+    upstream with no way to say where."""
+    if not ground_truth:
+        return {"proposal_recall": float("nan"), "num_covered": 0}
+    covered = 0
+    for g in ground_truth:
+        if any(_iou(p, g["box"]) >= iou_threshold
+               for p in proposals.get(g["image"], [])):
+            covered += 1
+    return {
+        "proposal_recall": covered / len(ground_truth),
+        "num_covered": covered,
+    }
+
+
 def evaluate_map(cfg, detector, batch_iterator, max_images: int = 200,
-                 iou_threshold: float = 0.5, batch: int = 8) -> Dict:
-    """Run the detector over validation images and compute mAP."""
-    detections, gts, img_id = collect_detections(detector, batch_iterator,
-                                                 max_images, batch)
+                 iou_threshold: float = 0.5, batch: int = 8,
+                 with_proposal_recall: bool = False) -> Dict:
+    """Run the detector over validation images and compute mAP.
+
+    ``with_proposal_recall=True`` adds stage-attribution fields:
+    ``proposal_recall`` (GT covered by any stage-1 survivor),
+    ``detection_recall`` (GT matched by a final detection, class-aware) —
+    their gap is the classifier+confidence-gate loss."""
+    if with_proposal_recall:
+        detections, gts, img_id, proposals = collect_detections(
+            detector, batch_iterator, max_images, batch, with_proposals=True
+        )
+    else:
+        detections, gts, img_id = collect_detections(
+            detector, batch_iterator, max_images, batch
+        )
     result = compute_map(detections, gts, cfg.class_count, iou_threshold)
     result["num_images"] = img_id
     result["num_detections"] = len(detections)
     result["num_gt"] = len(gts)
+    if with_proposal_recall:
+        result.update(proposal_coverage(proposals, gts, iou_threshold))
+        result["detection_recall"] = matched_recall(detections, gts,
+                                                    iou_threshold)
     return result

@@ -402,8 +402,10 @@ def main(argv=None):
     sp.add_argument("--t7", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--order", default="auto",
-                    choices=["auto", "blocks_first", "interleaved"],
-                    help="pnet gModule parameter order (see data/t7_model.py)")
+                    choices=["auto", "nngraph", "blocks_first", "interleaved"],
+                    help="pnet gModule parameter order (see data/t7_model.py; "
+                    "'nngraph' is the order derived from gModule's topsort, "
+                    "'auto' verifies it by PReLU-slope plausibility)")
     sp.set_defaults(fn=cmd_import_t7_model)
 
     sp = sub.add_parser(
@@ -412,8 +414,8 @@ def main(argv=None):
     )
     common(sp, train_required=False)
     sp.add_argument("--out", required=True)
-    sp.add_argument("--order", default="blocks_first",
-                    choices=["blocks_first", "interleaved"])
+    sp.add_argument("--order", default="nngraph",
+                    choices=["nngraph", "blocks_first", "interleaved"])
     sp.set_defaults(fn=cmd_export_t7_model)
 
     sp = sub.add_parser("import-imagenet", help="ILSVRC2015 DET XML -> manifest")

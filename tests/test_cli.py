@@ -104,7 +104,9 @@ def test_t7_model_export_import_cycle(workdir, monkeypatch):
     b = load_checkpoint(str(tmp / "imported.ckpt"))
     for x, y in zip(jax.tree.leaves(a["params"]), jax.tree.leaves(b["params"])):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-    assert b["options"]["order"] == "blocks_first"
+    # export default = the derived gModule topsort order; auto-detect on
+    # import must agree
+    assert b["options"]["order"] == "nngraph"
 
 
 def test_evaluate_runs(workdir, monkeypatch, capsys):

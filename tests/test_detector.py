@@ -85,6 +85,44 @@ def test_detect_forced_proposals(setup):
     assert (fg[v] > 0.95).all()
 
 
+def test_result_carries_stage1_survivors(setup):
+    """DetectionResult.proposals is the FULL stage-1 NMS survivor set
+    (recall attribution input): with forced fg it is nonempty even though
+    the untrained classifier may reject everything, and every final
+    detection's proposal_boxes row appears in it."""
+    cfg, gen, pnet, cnet, params, stats, detect = setup
+    p = _force_fg_params(cfg, params)
+    imgs, hw = _images(cfg, np.random.default_rng(6))
+    out = detect(p, stats, imgs, hw)
+    pv = np.asarray(out.proposals_valid)
+    props = np.asarray(out.proposals)
+    assert pv.sum() >= 1
+    # invalid survivor slots are zeroed (deterministic padding)
+    assert (props[~pv] == 0).all()
+    v = np.asarray(out.valid)
+    pb = np.asarray(out.proposal_boxes)
+    for b in range(v.shape[0]):
+        for k in np.nonzero(v[b])[0]:
+            d = np.abs(props[b, pv[b]] - pb[b, k]).max(axis=1)
+            assert d.min() < 1e-5, (b, k)
+
+
+def test_detect_fg_threshold_configurable(setup):
+    """Lowering cfg.detect_fg_threshold admits more stage-1 survivors on an
+    untrained net (P(fg) ~ 0.5 clears 0.3 but not the reference 0.95)."""
+    cfg, gen, pnet, cnet, params, stats, detect = setup
+    imgs, hw = _images(cfg, np.random.default_rng(7))
+    out_ref = detect(params, stats, imgs, hw)
+    assert int(np.asarray(out_ref.proposals_valid).sum()) == 0
+    lo = build_detect_fn(cfg.replace(detect_fg_threshold=0.3), gen, pnet,
+                         cnet)
+    out_lo = lo(params, stats, imgs, hw)
+    assert int(np.asarray(out_lo.proposals_valid).sum()) > 0
+    fg = np.asarray(out_lo.fg_score)
+    v = np.asarray(out_lo.valid)
+    assert (fg[v] > 0.3).all() if v.any() else True
+
+
 def test_detect_smaller_true_image(setup):
     """True image smaller than the bucket: all reported boxes must overlap
     the true image rect."""

@@ -158,6 +158,29 @@ def test_compute_map_sanity():
     assert compute_map([], gt, 3)["mAP"] == 0.0
 
 
+def test_proposal_coverage_attribution():
+    """proposal_coverage is class-agnostic GT coverage by any stage-1
+    survivor: full coverage despite wrong classes, and a missed image
+    counts against recall."""
+    from frcnn_tpu.detect.evaluation import proposal_coverage
+
+    gt = [
+        {"image": 0, "class": 0, "box": [0, 0, 10, 10]},
+        {"image": 0, "class": 1, "box": [20, 20, 40, 40]},
+        {"image": 1, "class": 0, "box": [5, 5, 15, 15]},
+    ]
+    props = {
+        0: [[1, 0, 10, 10], [19, 21, 41, 39]],  # both IoU > 0.5
+        1: [[50, 50, 60, 60]],                  # misses its GT
+    }
+    r = proposal_coverage(props, gt)
+    assert r["num_covered"] == 2
+    assert r["proposal_recall"] == pytest.approx(2 / 3)
+    # image with no proposals at all
+    assert proposal_coverage({}, gt)["proposal_recall"] == 0.0
+    assert np.isnan(proposal_coverage({}, [])["proposal_recall"])
+
+
 def test_empty_validation_set_yields_empty_batch(tmp_path):
     """An empty (or fully unreadable) validation set must yield a 0-batch,
     not crash (demo/evaluate entry path)."""

@@ -48,7 +48,7 @@ def _tree_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-@pytest.mark.parametrize("order", ["blocks_first", "interleaved"])
+@pytest.mark.parametrize("order", ["nngraph", "blocks_first", "interleaved"])
 def test_flatten_roundtrip_exact(setup, order):
     cfg, params, _ = setup
     flat = flatten_params(params, cfg, order)
@@ -58,17 +58,73 @@ def test_flatten_roundtrip_exact(setup, order):
 
 
 def test_orders_differ(setup):
-    """The two candidate layouts must actually produce different files —
-    otherwise the order plumbing is vacuous."""
+    """The candidate layouts must actually produce different files —
+    otherwise the order plumbing is vacuous. For the reference configs
+    (anchor inputs 3,4,4,4) the derived nngraph order coincides with the
+    by-block 'interleaved' layout."""
     cfg, params, _ = setup
     a = flatten_params(params, cfg, "blocks_first")
-    b = flatten_params(params, cfg, "interleaved")
+    b = flatten_params(params, cfg, "nngraph")
     assert a.shape == b.shape and not np.array_equal(a, b)
+    np.testing.assert_array_equal(
+        b, flatten_params(params, cfg, "interleaved")
+    )
+
+
+def test_nngraph_order_is_output_major(setup):
+    """The derived topsort rule (see t7_model module docstring): per
+    gModule output in declaration order, emit the not-yet-emitted producer
+    chain deepest-first. Anchor inputs (3,4,4,4) -> b1 b2 b3 a1 b4 a2+."""
+    from frcnn_tpu.data.t7_model import _spec_entries
+
+    cfg, _, _ = setup
+    names = [n for net, n, _ in _spec_entries(cfg, "nngraph")
+             if net == "pnet"]
+    # collapse conv/prelu module names to block/anchor sequence
+    seq = []
+    for n in names:
+        tag = n.split("/")[0]
+        key = ("b" + tag[5] if tag.startswith("block")
+               else "a" + tag[6])
+        if not seq or seq[-1] != key:
+            seq.append(key)
+    assert seq == ["b0", "b1", "b2", "a0", "b3", "a1", "a2", "a3"], seq
+
+
+def test_nngraph_differs_from_interleaved_when_declaration_order_flips():
+    """For a config whose FIRST declared anchor reads the LAST block, the
+    output-major topsort emits all blocks before any anchor — unlike the
+    by-block 'interleaved' heuristic. Guards the distinction the derived
+    order exists for."""
+    import dataclasses
+
+    from frcnn_tpu.data.t7_model import _spec_entries
+    from tests.tiny import tiny_config
+
+    cfg = tiny_config()
+    nets = list(cfg.model.anchor_nets)
+    # swap inputs: first anchor reads block 4, second reads block 3
+    nets[0] = dataclasses.replace(nets[0], input=4)
+    nets[1] = dataclasses.replace(nets[1], input=3)
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, anchor_nets=tuple(nets))
+    )
+    ng = [n for net, n, _ in _spec_entries(cfg, "nngraph") if net == "pnet"]
+    il = [n for net, n, _ in _spec_entries(cfg, "interleaved")
+          if net == "pnet"]
+    assert ng != il
+    # nngraph: a0 (needs b0..b3) comes first among anchors, then a1
+    first_anchor = next(n for n in ng if n.startswith("anchor"))
+    assert first_anchor.startswith("anchor0")
+    # every block precedes every anchor under nngraph here
+    last_block = max(i for i, n in enumerate(ng) if n.startswith("block"))
+    first_anch = min(i for i, n in enumerate(ng) if n.startswith("anchor"))
+    assert last_block < first_anch
 
 
 def test_file_roundtrip_and_auto_order(setup, tmp_path):
     cfg, params, stats = setup
-    for order in ("blocks_first", "interleaved"):
+    for order in ("blocks_first", "nngraph"):
         path = str(tmp_path / f"model_{order}.t7")
         save_reference_model(path, params, cfg, order=order,
                              options={"lr": 1e-4}, stats={"i": 3})
