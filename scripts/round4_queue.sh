@@ -81,8 +81,8 @@ retry_stage(){
 log "=== round4 queue start (pid $$, deadline $(date -d @$DEADLINE '+%F %T')) ==="
 
 # 1. Parity re-measure of the FIXED headline mode (VERDICT #1): eval-only.
-stage parity_fixed 7200 python scripts/eval_quant_parity.py \
-  --run runs/acc_photo --scale photo \
+stage parity_fixed 10800 python scripts/eval_quant_parity.py \
+  --run runs/acc_photo --scale photo --eval-count 240 \
   --modes bf16,int8_static,int8_static_s2d --out quant_parity_fixed.json
 
 # 2. Headline bench sanity after the calibration change (same program,
@@ -110,8 +110,8 @@ retry_stage imagenet_e2e 21600 30 python scripts/train_synthetic_eval.py \
 # 6. Converged-checkpoint evals (VERDICT #7 + #3 diagnostics) — only
 #    meaningful if photo50k completed.
 if [ -f "$M/photo50k.done" ]; then
-  stage parity_50k 10800 python scripts/eval_quant_parity.py \
-    --run runs/acc_photo --scale photo \
+  stage parity_50k 14400 python scripts/eval_quant_parity.py \
+    --run runs/acc_photo --scale photo --eval-count 240 \
     --modes bf16,int8_dynamic,int8_static,int8_static_s2d \
     --out quant_parity_50k.json
   stage gate_sweep_50k 7200 python scripts/sweep_conf_gate.py \
