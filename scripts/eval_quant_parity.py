@@ -39,6 +39,10 @@ def main():
                     "Extra bisection modes: bf16_pallas, bf16_pallas_s2d, "
                     "int8_static_pallas (isolate pallas kernels / s2d "
                     "frontend / quantization from each other)")
+    ap.add_argument("--ckpt", default="final.ckpt",
+                    help="checkpoint filename inside --run (a named "
+                    "step_NNNNNN.ckpt snapshot, partial.ckpt, or the "
+                    "default final.ckpt)")
     ap.add_argument("--out", default="quant_parity.json",
                     help="output filename inside --run")
     args = ap.parse_args()
@@ -65,7 +69,7 @@ def main():
     manifest = os.path.join(data_dir, "manifest.json")
     cfg = cfg_fn(n_classes).replace(examples_base_path=data_dir)
 
-    ckpt = load_checkpoint(os.path.join(args.run, "final.ckpt"))
+    ckpt = load_checkpoint(os.path.join(args.run, args.ckpt))
     params, stats = ckpt["params"], ckpt["batch_stats"]
 
     # calibration batch for static int8 activation scales: NORMALIZED
@@ -121,6 +125,9 @@ def main():
         base = results["bf16"]["mAP"]
         for name, r in results.items():
             r["mAP_delta_vs_bf16"] = r["mAP"] - base
+    results["_ckpt"] = args.ckpt
+    if isinstance(ckpt, dict) and "step" in ckpt:
+        results["_step"] = int(ckpt["step"])
     out = os.path.join(args.run, args.out)
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
