@@ -36,6 +36,31 @@ CLASS_COLORS = [
 CLASS_NAMES = ["Red", "Green", "Blue", "Yellow", "Magenta", "Cyan"]
 
 
+def _skip_if_generated(out_dir: str, meta: dict):
+    """Generation is deterministic in its arguments; return the existing
+    CSV path when a COMPLETED generation with identical arguments is on
+    disk. Post-restart queue relaunches call the maker unconditionally and
+    the chip sits idle during the PIL work (960 photo images is ~10 min of
+    the 1-core box), so resumed runs must not pay it twice. The marker is
+    written only after the last file, so a generation interrupted mid-way
+    is redone."""
+    marker = os.path.join(out_dir, "gen_meta.json")
+    csv = os.path.join(out_dir, "boxes.csv")
+    if os.path.exists(marker) and os.path.exists(csv):
+        try:
+            with open(marker) as f:
+                if json.load(f) == meta:
+                    return csv
+        except (ValueError, OSError):
+            pass
+    return None
+
+
+def _mark_generated(out_dir: str, meta: dict) -> None:
+    with open(os.path.join(out_dir, "gen_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
 def make_dataset(out_dir: str, n_images: int, img_w: int, img_h: int,
                  n_classes: int, box_lo: int, box_hi: int, seed: int = 0,
                  max_boxes: int = 3):
@@ -44,6 +69,12 @@ def make_dataset(out_dir: str, n_images: int, img_w: int, img_h: int,
     schema (create-duplo-traindata.lua:7-46)."""
     from PIL import Image
 
+    meta = dict(kind="duplo", n_images=n_images, img_w=img_w, img_h=img_h,
+                n_classes=n_classes, box_lo=box_lo, box_hi=box_hi,
+                seed=seed, max_boxes=max_boxes)
+    done = _skip_if_generated(out_dir, meta)
+    if done:
+        return done
     rng = np.random.default_rng(seed)
     rows = []
     os.makedirs(out_dir, exist_ok=True)
@@ -79,6 +110,7 @@ def make_dataset(out_dir: str, n_images: int, img_w: int, img_h: int,
     csv = os.path.join(out_dir, "boxes.csv")
     with open(csv, "w") as f:
         f.write("\n".join(rows))
+    _mark_generated(out_dir, meta)
     return csv
 
 
@@ -180,6 +212,13 @@ def make_photo_dataset(out_dir: str, n_images: int, img_w: int, img_h: int,
     deliberately corrupt files to exercise the decode-skip path."""
     from PIL import Image, ImageFilter
 
+    meta = dict(kind="photo", n_images=n_images, img_w=img_w, img_h=img_h,
+                n_classes=n_classes, box_lo=box_lo, box_hi=box_hi,
+                seed=seed, max_boxes=max_boxes, n_corrupt=n_corrupt,
+                mixed_orientation=mixed_orientation)
+    done = _skip_if_generated(out_dir, meta)
+    if done:
+        return done
     backgrounds = _bundled_photos()
     rng = np.random.default_rng(seed)
     rows = []
@@ -260,6 +299,7 @@ def make_photo_dataset(out_dir: str, n_images: int, img_w: int, img_h: int,
     csv = os.path.join(out_dir, "boxes.csv")
     with open(csv, "w") as f:
         f.write("\n".join(rows))
+    _mark_generated(out_dir, meta)
     return csv
 
 
