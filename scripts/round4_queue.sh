@@ -183,6 +183,16 @@ train_stage photo50k "$PHOTO_END" 3600 photo_partial.ckpt runs/acc_photo \
   --images 960 --chunk 16 --out runs/acc_photo \
   --named-snapshot-every 12500 --eval-count 240
 
+# 3b. Finalize the photo run at whatever step it reached: resuming with
+#     --steps 1 (<= the snapshot step) performs zero training and writes
+#     result.json (mAP, true step recorded) + demo images — the same
+#     artifacts a completed schedule produces, honestly labeled.
+if [ ! -f runs/acc_photo/result.json ] && [ -f runs/acc_photo/partial.ckpt ]; then
+  stage photo_finalize 7200 python scripts/train_synthetic_eval.py \
+    --scale photo --steps 1 --images 960 --chunk 16 --out runs/acc_photo \
+    --eval-count 240
+fi
+
 # 4. Converged-checkpoint evals (VERDICT #7 + #3 diagnostics) on the BEST
 #    checkpoint that exists — final if the schedule completed, else the
 #    rolling partial (step recorded in each artifact).

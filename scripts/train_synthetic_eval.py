@@ -540,7 +540,11 @@ def main():
     eval_it = BatchIterator(cfg, manifest_path, seed=args.seed + 1)
     result = evaluate_map(cfg, det, eval_it, max_images=args.eval_count)
     result["scale"] = args.scale
-    result["steps"] = args.steps
+    # record the step actually reached: a resume invoked with --steps <=
+    # the snapshot's step performs zero training and just finalizes
+    # (eval + demos) at the checkpoint — "steps" must reflect the ckpt
+    result["steps"] = tr.step
+    result["requested_steps"] = args.steps
     result["final_loss_mean_last25"] = float(np.mean(losses[-25:]))
     result["first_loss_mean_25"] = float(np.mean(losses[:25]))
     with open(os.path.join(args.out, "result.json"), "w") as f:
