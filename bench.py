@@ -29,6 +29,10 @@ def _last_recorded():
 
     paths = [os.path.join(root, "scripts", "tpu_results.log")]
     paths += sorted(glob.glob(os.path.join(root, "docs", "tpu_results_*.log")))
+    # committed queue logs are a third source: round 4 proved a queue can
+    # measure a number that never makes it into either results log before
+    # the box wipes (VERDICT-r4 weak #1)
+    paths += sorted(glob.glob(os.path.join(root, "scripts", "round*_queue.log")))
     best = None
     for path in paths:
         try:
