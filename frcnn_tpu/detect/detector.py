@@ -39,7 +39,7 @@ from frcnn_tpu.geometry.anchors import AnchorGenerator
 from frcnn_tpu.models.cnet import ClassificationNet
 from frcnn_tpu.models.pnet import ProposalNet
 from frcnn_tpu.ops.color import unwire_uint8
-from frcnn_tpu.ops.nms import nms
+from frcnn_tpu.ops.nms import class_offset_boxes, nms
 from frcnn_tpu.ops.normalization import normalize_image
 from frcnn_tpu.ops.roi_pool import adaptive_max_pool, prepare_roi_rects
 
@@ -411,12 +411,7 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
         accept = prop_valid & (cls != bg) & (conf > conf_gate)
 
         # per-class NMS via the coordinate-offset trick, batched
-        span = (
-            jnp.max(jnp.where(accept, jnp.max(refined, axis=-1), 0.0))
-            - jnp.min(jnp.where(accept, jnp.min(refined, axis=-1), 0.0))
-            + 2.0
-        )
-        shifted = refined + (cls.astype(refined.dtype) * span)[:, :, None]
+        shifted = class_offset_boxes(refined, cls, accept)
         fin_idx, f_valid = batched_nms(
             shifted, jnp.log(jnp.maximum(conf, 1e-20)), accept,
             CLASS_NMS_IOU, D,

@@ -108,16 +108,38 @@ def nms_indices_sorted(boxes_sorted, valid_sorted, iou_threshold: float,
     return keep[:max_out], keep_valid[:max_out]
 
 
+def resolve_nms_scores(boxes, scores=None):
+    """The reference's score-argument semantics (``nms.lua:37-43``): an
+    ``int`` selects a box column (0-based here, vs Lua's 1-based), the
+    string ``'area'`` orders by +1-pixel box area, ``None`` orders by
+    ``max_y`` (the reference's default branch), and anything else is used
+    as the score tensor directly. Dead code at the reference's own call
+    sites (``Detector.lua:82,133`` always pass score tensors) — ported for
+    API completeness."""
+    if scores is None:
+        return boxes[..., 3]
+    if isinstance(scores, str):
+        if scores != "area":
+            raise ValueError(f"unknown nms scores string: {scores!r}")
+        return ((boxes[..., 2] - boxes[..., 0] + 1.0)
+                * (boxes[..., 3] - boxes[..., 1] + 1.0))
+    if isinstance(scores, int):
+        return boxes[..., scores]
+    return scores
+
+
 def nms(boxes, scores, valid, iou_threshold: float, max_out: int):
     """Full NMS: sort (reference tie order) + greedy suppress.
 
     Args:
-      boxes: [N, 4]; scores: [N]; valid: [N] bool.
+      boxes: [N, 4]; scores: [N] (or ``None`` / ``'area'`` / int column,
+        resolved per ``nms.lua:37-43``); valid: [N] bool.
     Returns:
       (indices [max_out] int32 into the ORIGINAL order, -1 padded;
        keep_valid [max_out] bool). Picks are in descending score order like
        the reference's pick list.
     """
+    scores = resolve_nms_scores(boxes, scores)
     perm = _sort_desc_with_ref_ties(scores, valid)
     boxes_sorted = jnp.take(boxes, perm, axis=0)
     valid_sorted = jnp.take(valid, perm)
@@ -128,16 +150,24 @@ def nms(boxes, scores, valid, iou_threshold: float, max_out: int):
     return indices, keep_valid
 
 
-def per_class_nms(boxes, scores, classes, valid, num_classes: int,
-                  iou_threshold: float, max_out: int):
-    """Per-class NMS in one pass via the coordinate-offset trick: boxes of
-    different classes are translated to disjoint regions, so one joint NMS
-    equals independent per-class NMS runs (``Detector.lua:124-136``)."""
+def class_offset_boxes(boxes, classes, valid):
+    """The per-class-NMS coordinate-offset trick (``Detector.lua:124-136``):
+    translate each class's boxes into a disjoint coordinate region so ONE
+    joint NMS equals independent per-class runs. Shape-polymorphic — works
+    on ``[N, 4]`` or ``[B, D, 4]`` boxes with matching ``[N]``/``[B, D]``
+    classes/valid; the span is global over all valid boxes (batched callers
+    share one span, which is fine: disjointness is all that matters)."""
     span = (
         jnp.max(jnp.where(valid, jnp.max(boxes, axis=-1), 0.0))
         - jnp.min(jnp.where(valid, jnp.min(boxes, axis=-1), 0.0))
         + 2.0
     )
-    offs = classes.astype(boxes.dtype) * span
-    shifted = boxes + offs[:, None]
+    return boxes + (classes.astype(boxes.dtype) * span)[..., None]
+
+
+def per_class_nms(boxes, scores, classes, valid, num_classes: int,
+                  iou_threshold: float, max_out: int):
+    """Per-class NMS in one pass via the coordinate-offset trick
+    (``Detector.lua:124-136``)."""
+    shifted = class_offset_boxes(boxes, classes, valid)
     return nms(shifted, scores, valid, iou_threshold, max_out)

@@ -5,7 +5,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from frcnn_tpu.ops.nms import nms, per_class_nms
+from frcnn_tpu.ops.nms import nms, per_class_nms, resolve_nms_scores
 from tests.reference_oracles import nms_oracle
 
 
@@ -102,3 +102,23 @@ def test_per_class_nms_equals_independent_runs():
         for k in nms_oracle(boxes[sel], 0.1, scores[sel]):
             expect.add(int(sel[k]))
     assert got == expect
+
+
+@pytest.mark.parametrize("variant", [None, "area", 1])
+def test_nms_reference_score_variants(variant):
+    """nms.lua:37-43 — scores may be omitted (max_y order), 'area', or an
+    int box-column index; each must equal explicit scores resolved the
+    same way (oracle order included)."""
+    rng = np.random.default_rng(7)
+    n = 48
+    boxes = random_cluttered_boxes(rng, n)
+    resolved = np.asarray(resolve_nms_scores(jnp.asarray(boxes), variant))
+    idx, ok = nms(jnp.asarray(boxes), variant, jnp.ones((n,), bool), 0.3,
+                  max_out=n)
+    got = np.asarray(idx)[np.asarray(ok)].tolist()
+    assert got == nms_oracle(boxes, 0.3, resolved)
+
+
+def test_nms_rejects_unknown_score_string():
+    with pytest.raises(ValueError):
+        resolve_nms_scores(jnp.zeros((4, 4)), "volume")
