@@ -49,9 +49,18 @@ def _skip_if_generated(out_dir: str, meta: dict):
     if os.path.exists(marker) and os.path.exists(csv):
         try:
             with open(marker) as f:
-                if json.load(f) == meta:
-                    return csv
-        except (ValueError, OSError):
+                if json.load(f) != meta:
+                    return None
+            # the marker + CSV can outlive deleted images (box wipe /
+            # manual cleanup); spot-check the LAST image named in the CSV
+            # so a gutted dataset regenerates instead of silently
+            # shrinking via the corrupt-file skip path (ADVICE-r4)
+            with open(csv) as f:
+                last = [ln for ln in f if ln.strip()][-1]
+            img_name = last.split(",", 1)[0].strip().strip('"')
+            if os.path.exists(os.path.join(out_dir, img_name)):
+                return csv
+        except (ValueError, OSError, IndexError):
             pass
     return None
 
@@ -481,6 +490,7 @@ def main():
     if os.path.exists(partial):
         tr.restore_snapshot(partial)
         print(f"resumed from {partial} at step {tr.step}", flush=True)
+    start_step = tr.step
 
     t0 = time.time()
     last_snap = tr.step
@@ -532,7 +542,16 @@ def main():
     # the reference's "loss" series is pcls + preg (objective.lua:216);
     # rebuilt from stats so it survives a resume
     losses = [p + r for p, r in zip(tr.stats.pcls, tr.stats.preg)]
-    tr.save_snapshot(os.path.join(args.out, "final.ckpt"))
+    # final.ckpt means "the requested schedule completed". A finalize-only
+    # invocation (--steps <= the restored step, zero training performed)
+    # must NOT mint one: a later relaunch with an extended deadline would
+    # then train partial.ckpt further while best_ckpt keeps picking the
+    # stale final (ADVICE-r4).
+    if args.steps >= start_step:
+        tr.save_snapshot(os.path.join(args.out, "final.ckpt"))
+    else:
+        print(f"finalize-only run (step {tr.step} > requested {args.steps}); "
+              "not writing final.ckpt", flush=True)
 
     # mAP on the validation split
     det = Detector(cfg, tr.params, tr.batch_stats, gen=tr.gen,
@@ -545,8 +564,12 @@ def main():
     # (eval + demos) at the checkpoint — "steps" must reflect the ckpt
     result["steps"] = tr.step
     result["requested_steps"] = args.steps
-    result["final_loss_mean_last25"] = float(np.mean(losses[-25:]))
-    result["first_loss_mean_25"] = float(np.mean(losses[:25]))
+    # a restored ckpt can lack stats -> losses == [] -> np.mean([]) is NaN,
+    # which json.dump emits as non-strict bare NaN (ADVICE-r4); write null
+    result["final_loss_mean_last25"] = (
+        float(np.mean(losses[-25:])) if losses else None)
+    result["first_loss_mean_25"] = (
+        float(np.mean(losses[:25])) if losses else None)
     with open(os.path.join(args.out, "result.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({k: v for k, v in result.items() if k != "per_class"}))
