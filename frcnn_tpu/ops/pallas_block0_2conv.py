@@ -168,15 +168,17 @@ def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int,
             # block dims be 8-divisible or full, which a 1-row halo block
             # (or tr=9 strips) can't satisfy with rows on the sublane axis
             if r2 == 0:
-                crow, lrow = ct[g][0, 0], (lambda p: lt[g][0, 0, p, :])
+                crow, lslab = ct[g][0, 0], lt[g][0, 0]
             elif r2 == tr + 1:
-                crow, lrow = cb[g][0, 0], (lambda p: lb[g][0, 0, p, :])
+                crow, lslab = cb[g][0, 0], lb[g][0, 0]
             else:
-                crow = cm[g][0, r2 - 1]
-                lrow = (lambda p, r=r2 - 1: lm[g][0, r, p, :])
+                crow, lslab = cm[g][0, r2 - 1], lm[g][0, r2 - 1]
             P[16 * g:16 * g + 8, sl] = crow
-            for p in range(4):
-                P[16 * g + 8 + p, sl] = lrow(p)
+            # one [4, Wo] slab store at the 8-aligned offset 16g+8 — four
+            # 1-sublane stores here wasted 7/8 of VPU store bandwidth and
+            # dominated conv0's non-matmul cost (docs/perf_ceiling.md,
+            # imagenet-envelope analysis)
+            P[16 * g + 8:16 * g + 12, sl] = lslab
     # conv0 matmul + epilogue in 4-row chunks: one [4f, (tr+2)*ws] f32
     # result (~6 MB at tr=9) as a live vector value blew the Mosaic stack
     # budget (18.1M > 16M scoped vmem); 4-row chunks keep N long enough
