@@ -210,7 +210,11 @@ def run_bench(batch_size: int, iters: int, mode: str) -> float:
 
         qparams = quantize_pnet_params(params, cfg.model)
         pnet_for_detect = QuantizedPNetAdapter(
-            cfg.model, qparams, act_dtype=compute_dtype(cfg)
+            cfg.model, qparams, act_dtype=compute_dtype(cfg),
+            # +s8p: quantize in the conv epilogue and pool on int8 —
+            # exact vs the default order (monotone round commutes with
+            # max); kills the standalone inter-block quantize pass
+            pool_s8="s8p" in mode,
         )
         if "int8s" in mode:
             # static calibrated activation scales: drops the per-conv

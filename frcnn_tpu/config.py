@@ -283,6 +283,12 @@ class Config:
     # comparison point for measurements).
     s2d_block0_int8: bool = True
 
+    # Int8 static-scale serving: quantize each block's activation in the
+    # conv epilogue and run the 2x2 pool on int8 (exact reorder — monotone
+    # round commutes with max; see models/quant.py::quant_pnet_apply).
+    # Off by default until TPU-measured.
+    quant_pool_s8: bool = False
+
     # Fused 2-conv block0 kernel layout: "zg" writes conv0 output straight
     # into the group-ordered conv1 stack (no per-row copies/rolls; the
     # default), "roll" keeps the original per-row tap-scratch assembly

@@ -470,7 +470,8 @@ class Detector:
 
             qparams = quantize_pnet_params(params, cfg.model)
             pnet = QuantizedPNetAdapter(
-                cfg.model, qparams, act_dtype=compute_dtype(cfg)
+                cfg.model, qparams, act_dtype=compute_dtype(cfg),
+                pool_s8=cfg.quant_pool_s8,
             )
             if quant_calibration is not None:
                 calibrate_quantized_pnet(cfg, pnet, params, quant_calibration)

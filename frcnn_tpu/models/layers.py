@@ -70,8 +70,12 @@ def ceil_max_pool_2x2(x):
     pad_h = h % 2
     pad_w = w % 2
     if pad_h or pad_w:
+        # max-identity padding; int dtypes (the s8-pooled serving path)
+        # pad with the dtype min instead of -inf
+        pad_val = (jnp.iinfo(x.dtype).min
+                   if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf)
         pad_cfg = [(0, 0)] * (x.ndim - 3) + [(0, pad_h), (0, pad_w), (0, 0)]
-        x = jnp.pad(x, pad_cfg, constant_values=-jnp.inf)
+        x = jnp.pad(x, pad_cfg, constant_values=pad_val)
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 

@@ -55,19 +55,33 @@ def quantize_pnet_params(params: Dict, model_cfg: ModelConfig) -> Dict:
     return q
 
 
+def _quantize_act(x, s_x):
+    """Symmetric per-tensor activation quantization at scale ``s_x``."""
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s_x), -127, 127
+    ).astype(jnp.int8)
+
+
 def _qconv(x, layer: Dict, padding, act_dtype=jnp.bfloat16, s_x=None):
     """Per-tensor int8 activation quant -> int8 conv (int32 accumulate on
     the MXU) -> dequantized fp output + bias.
+
+    ``x`` may be a ``(xq int8, scale)`` tuple — an already-quantized
+    activation from the s8-pooled producer path — in which case the
+    quantize step is skipped and ``scale`` overrides ``s_x``.
 
     ``s_x=None`` computes the activation scale dynamically (abs-max over
     the tensor — an extra full HBM reduce pass per conv, plus it blocks
     XLA from fusing the quantize into the producer's epilogue because of
     the reduce dependency). Passing a static calibrated ``s_x`` removes
     both costs; see :func:`calibrate_pnet_scales`."""
-    if s_x is None:
-        s_x = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
-        s_x = jnp.maximum(s_x, 1e-12)
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(jnp.int8)
+    if isinstance(x, tuple):
+        xq, s_x = x
+    else:
+        if s_x is None:
+            s_x = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+            s_x = jnp.maximum(s_x, 1e-12)
+        xq = _quantize_act(x, s_x)
     y = jax.lax.conv_general_dilated(
         xq,
         layer["w_int8"],
@@ -88,7 +102,8 @@ def _prelu(x, slope):
 
 def quant_pnet_apply(qparams: Dict, model_cfg: ModelConfig, x,
                      act_dtype=jnp.bfloat16, act_scales: Dict = None,
-                     _record: Dict = None, block0_out=None) -> Tuple[List, Any]:
+                     _record: Dict = None, block0_out=None,
+                     pool_s8: bool = False) -> Tuple[List, Any]:
     """Eval-mode forward identical in structure to ProposalNet.__call__.
     x: [B, H, W, 3] -> (anchor_maps, feature_map).
 
@@ -96,8 +111,23 @@ def quant_pnet_apply(qparams: Dict, model_cfg: ModelConfig, x,
     (from :func:`calibrate_pnet_scales`); absent entries fall back to
     dynamic abs-max. ``_record``: internal — a dict the dynamically
     computed scales are written into during calibration. ``block0_out``:
-    precomputed first-block output (fused s2d kernel) — block 0 skipped."""
+    precomputed first-block output (fused s2d kernel) — block 0 skipped.
+
+    ``pool_s8`` (static scales only): quantize each block's activation in
+    the conv epilogue (where XLA fuses it) and run the 2x2 pool on int8 —
+    EXACT vs the quantize-after-pool order because ``round(x/s)`` is
+    monotone, so max commutes with it. Cuts the pool's HBM traffic 4x
+    (bf16 -> s8) and removes the standalone quantize pass between blocks
+    (docs/perf_ceiling.md "Parked gaps" #1). Consumers of a block output
+    (next block conv, anchor heads) receive the s8 tensor with its scale;
+    calibration records one scale per conv input, and all consumers of
+    the same tensor record the same abs-max, so the dequant arithmetic is
+    unchanged."""
+    pool_s8 = pool_s8 and act_scales is not None and _record is None
+
     def qconv(x, name, pad):
+        if isinstance(x, tuple):
+            return _qconv(x, qparams[name], pad, act_dtype)
         s_x = None if act_scales is None else act_scales.get(name)
         if s_x is None and _record is not None:
             s_x = jnp.maximum(
@@ -105,6 +135,17 @@ def quant_pnet_apply(qparams: Dict, model_cfg: ModelConfig, x,
             )
             _record[name] = s_x
         return _qconv(x, qparams[name], pad, act_dtype, s_x=s_x)
+
+    def next_consumer_scale(bi):
+        """The calibrated scale of the conv that consumes block ``bi``'s
+        pooled output: block bi+1's first conv, or (for the last block)
+        the first anchor conv tapping it. None when uncalibrated."""
+        if bi + 1 < len(model_cfg.layers):
+            return act_scales.get(f"block{bi + 1}_conv0")
+        for ai, aspec in enumerate(model_cfg.anchor_nets):
+            if aspec.input - 1 == bi:
+                return act_scales.get(f"anchor{ai}_conv")
+        return None
 
     block_outputs = []
     if block0_out is not None:
@@ -119,7 +160,12 @@ def quant_pnet_apply(qparams: Dict, model_cfg: ModelConfig, x,
             pad = [(spec.padH, spec.padH), (spec.padW, spec.padW)]
             x = qconv(x, f"block{bi}_conv{si}", pad)
             x = _prelu(x, qparams[f"block{bi}_prelu{si}"]["slope"])
-        x = ceil_max_pool_2x2(x)
+        s_next = next_consumer_scale(bi) if pool_s8 else None
+        if s_next is not None:
+            xq = ceil_max_pool_2x2(_quantize_act(x, s_next))
+            x = (xq, s_next)
+        else:
+            x = ceil_max_pool_2x2(x)
         block_outputs.append(x)
 
     anchor_maps = []
@@ -129,7 +175,11 @@ def quant_pnet_apply(qparams: Dict, model_cfg: ModelConfig, x,
         h = _prelu(h, qparams[f"anchor{ai}_prelu"]["slope"])
         h = qconv(h, f"anchor{ai}_out", "VALID")
         anchor_maps.append(h)
-    return anchor_maps, block_outputs[-1]
+    fm = block_outputs[-1]
+    if isinstance(fm, tuple):
+        xq, s = fm
+        fm = (xq.astype(jnp.float32) * s).astype(act_dtype)
+    return anchor_maps, fm
 
 
 def calibrate_pnet_scales(qparams: Dict, model_cfg: ModelConfig, images,
@@ -158,11 +208,13 @@ class QuantizedPNetAdapter:
     this adapter runs the int8 path from pre-quantized params instead."""
 
     def __init__(self, model_cfg: ModelConfig, qparams: Dict,
-                 act_dtype=jnp.bfloat16, act_scales: Dict = None):
+                 act_dtype=jnp.bfloat16, act_scales: Dict = None,
+                 pool_s8: bool = False):
         self.model_cfg = model_cfg
         self.qparams = qparams
         self.act_dtype = act_dtype
         self.act_scales = act_scales
+        self.pool_s8 = pool_s8
 
     def calibrate(self, images, block0_out=None, extra_scales: Dict = None):
         """Record static activation scales from a calibration batch (see
@@ -184,4 +236,5 @@ class QuantizedPNetAdapter:
         del variables, train, rngs
         return quant_pnet_apply(self.qparams, self.model_cfg, x,
                                 self.act_dtype, act_scales=self.act_scales,
-                                block0_out=block0_out)
+                                block0_out=block0_out,
+                                pool_s8=self.pool_s8)

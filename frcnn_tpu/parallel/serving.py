@@ -54,7 +54,8 @@ class ShardedDetector:
 
             qparams = quantize_pnet_params(params, cfg.model)
             pnet = QuantizedPNetAdapter(
-                cfg.model, qparams, act_dtype=compute_dtype(cfg)
+                cfg.model, qparams, act_dtype=compute_dtype(cfg),
+                pool_s8=cfg.quant_pool_s8,
             )
             if quant_calibration is not None:
                 from frcnn_tpu.detect.detector import calibrate_quantized_pnet

@@ -123,7 +123,8 @@ def main():
 
         qparams = quantize_pnet_params(params, cfg.model)
         pnet = QuantizedPNetAdapter(cfg.model, qparams,
-                                    act_dtype=compute_dtype(cfg))
+                                    act_dtype=compute_dtype(cfg),
+                                    pool_s8="s8p" in mode)
         if "int8s" in mode:
             pnet.calibrate(images)
     print(f"mode={mode}")

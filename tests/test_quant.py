@@ -242,3 +242,34 @@ def test_static_scales_close_to_fp32_on_unseen_data(setup):
     for mf, ms in zip(amaps_f, amaps_s):
         assert _cos(np.asarray(mf), np.asarray(ms)) > 0.99
     assert _cos(np.asarray(fm_f), np.asarray(fm_s)) > 0.99
+
+
+def test_pool_s8_exact_vs_default_order(setup):
+    """pool_s8 reorders quantize before the 2x2 pool. round(x/s) is
+    monotone non-decreasing, so max commutes with it and the int8 stream
+    feeding every downstream conv is IDENTICAL; anchor maps and the
+    (dequantized) feature map must match the default order exactly."""
+    from frcnn_tpu.models.quant import calibrate_pnet_scales
+
+    cfg, pnet, params, qparams = setup
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (2, H, W, 3)).astype(np.float32))
+    scales = calibrate_pnet_scales(qparams, cfg.model, x, act_dtype=jnp.float32)
+    ref_maps, ref_fm = quant_pnet_apply(
+        qparams, cfg.model, x, act_dtype=jnp.float32, act_scales=scales
+    )
+    got_maps, got_fm = quant_pnet_apply(
+        qparams, cfg.model, x, act_dtype=jnp.float32, act_scales=scales,
+        pool_s8=True,
+    )
+    for mr, mg in zip(ref_maps, got_maps):
+        np.testing.assert_array_equal(np.asarray(mr), np.asarray(mg))
+    # fm travels quantize->dequantize in pool_s8 mode: one rounding step
+    # at the calibrated scale
+    s_fm = max(float(scales[f"anchor{ai}_conv"])
+               for ai, a in enumerate(cfg.model.anchor_nets)
+               if a.input - 1 == len(cfg.model.layers) - 1)
+    np.testing.assert_allclose(
+        np.asarray(ref_fm), np.asarray(got_fm), atol=s_fm * 0.5 + 1e-6
+    )
