@@ -101,9 +101,18 @@ def _cut_sum(*arrays):
     return tot
 
 
-def compute_s2d_block0(cfg: Config, pnet, pnet_params, lum4, chroma):
+def compute_s2d_block0(cfg: Config, pnet, pnet_params, lum4, chroma,
+                       allow_quant_out: bool = True):
     """Fused Pallas block0 from a packed, normalized s2d input pair ->
     [B, H/2, W/2, F] first-block output (ops/pallas_block0.py layouts).
+
+    With an s8-pooled int8s adapter (``pnet.pool_s8`` + calibrated
+    ``block1_conv0`` scale) and ``allow_quant_out``, the kernel quantizes
+    its output in-register and this returns an ``(int8 NHWC, scale)``
+    tuple that block1's conv consumes directly — the inter-block bf16
+    round-trip + standalone quantize pass never exists. Calibration passes
+    ``allow_quant_out=False`` so scale recording always sees float
+    activations.
 
     Factored out of ``build_detect_fn`` so static int8 calibration
     (:func:`calibrate_quantized_pnet`) records downstream activation scales
@@ -129,6 +138,13 @@ def compute_s2d_block0(cfg: Config, pnet, pnet_params, lum4, chroma):
         p0["block0_conv0"]["kernel"], p0["block0_conv0"]["bias"]
     )
     cviews, lviews = views_from_s2d(lum4, chroma, out_dtype=cdt)
+    # s8-chain serving: quantize the block output in-kernel at block1's
+    # calibrated input scale and hand the next conv the int8 directly
+    out_scale = None
+    if allow_quant_out and getattr(pnet, "pool_s8", False):
+        out_scale = (getattr(pnet, "act_scales", None) or {}).get(
+            "block1_conv0"
+        )
     if spec0.conv_steps == 2:
         # vgg_large-style 2-conv first block: the fused 2-conv
         # kernel keeps BOTH full-resolution activations out of HBM
@@ -161,6 +177,7 @@ def compute_s2d_block0(cfg: Config, pnet, pnet_params, lum4, chroma):
             p0["block0_prelu1"]["slope"].reshape(()),
             interpret=interpret, compute_dtype=cdt,
             layout=getattr(cfg, "s2d_block0_layout", "zg"),
+            out_scale=out_scale,
             **quant_kw,
         )
     else:
@@ -168,8 +185,10 @@ def compute_s2d_block0(cfg: Config, pnet, pnet_params, lum4, chroma):
             cviews, lviews, wt, bias,
             p0["block0_prelu0"]["slope"].reshape(()),
             interpret=interpret, compute_dtype=cdt,
+            out_scale=out_scale,
         )
-    return b0.transpose(0, 1, 3, 2)
+    b0 = b0.transpose(0, 1, 3, 2)
+    return (b0, out_scale) if out_scale is not None else b0
 
 
 def calibrate_quantized_pnet(cfg: Config, pnet, params, calib_images):
@@ -200,7 +219,8 @@ def calibrate_quantized_pnet(cfg: Config, pnet, params, calib_images):
     calib = np.asarray(jax.device_get(calib_images), np.float32)
     lum4, chroma = pack_s2d_np(calib)
     b0 = jax.jit(
-        lambda l, c: compute_s2d_block0(cfg, pnet, params["pnet"], l, c)
+        lambda l, c: compute_s2d_block0(cfg, pnet, params["pnet"], l, c,
+                                    allow_quant_out=False)
     )(jnp.asarray(lum4), jnp.asarray(chroma))
     extra = {}
     spec0 = cfg.model.layers[0]
@@ -318,7 +338,7 @@ def build_detect_fn(cfg: Config, gen: AnchorGenerator,
                 )(lum4, chroma, true_hw)
             b0 = compute_s2d_block0(cfg, pnet, params["pnet"], lum4, chroma)
             if stop_after == "b0":
-                return _cut_sum(b0)
+                return _cut_sum(b0[0] if isinstance(b0, tuple) else b0)
             anchor_maps, fm = pnet.apply(
                 {"params": params["pnet"]}, None, train=False, block0_out=b0
             )

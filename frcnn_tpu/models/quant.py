@@ -149,7 +149,10 @@ def quant_pnet_apply(qparams: Dict, model_cfg: ModelConfig, x,
 
     block_outputs = []
     if block0_out is not None:
-        x = block0_out.astype(act_dtype)
+        # (int8, scale) tuple from an s8-emitting fused block0 kernel
+        # passes straight through to block1's conv
+        x = (block0_out if isinstance(block0_out, tuple)
+             else block0_out.astype(act_dtype))
         block_outputs.append(x)
     else:
         x = x.astype(act_dtype)

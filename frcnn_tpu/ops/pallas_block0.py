@@ -56,8 +56,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(c0_ref, c1_ref, c2_ref, c3_ref, l0_ref, l1_ref, l2_ref, l3_ref,
-            wt_ref, bias_ref, slope_ref, out_ref, scratch, *, tr: int,
-            f: int, nhwc_out: bool):
+            wt_ref, bias_ref, slope_ref, *rest, tr: int,
+            f: int, nhwc_out: bool, quant_out: bool):
+    if quant_out:
+        inv_s_ref, out_ref, scratch = rest
+    else:
+        out_ref, scratch = rest
     cviews = (c0_ref, c1_ref, c2_ref, c3_ref)
     lviews = (l0_ref, l1_ref, l2_ref, l3_ref)
     wo = c0_ref.shape[3]
@@ -91,6 +95,11 @@ def _kernel(c0_ref, c1_ref, c2_ref, c3_ref, l0_ref, l1_ref, l2_ref, l3_ref,
         jnp.maximum(y[0 * f:1 * f], y[1 * f:2 * f]),
         jnp.maximum(y[2 * f:3 * f], y[3 * f:4 * f]),
     )  # [f, tr*WS]
+    if quant_out:
+        # emit the block output already quantized at the consumer's static
+        # activation scale (models/quant.py int8s scheme): the inter-block
+        # bf16 write + read + standalone quantize pass never exists
+        m = jnp.clip(jnp.round(m * inv_s_ref[0, 0]), -127.0, 127.0)
     for r in range(tr):
         blk = m[:, r * ws:r * ws + wo]
         if nhwc_out:
@@ -217,7 +226,8 @@ def views_from_s2d(lum4, chroma, out_dtype=jnp.bfloat16):
 
 def fused_block0(cviews, lviews, wt, bias, slope, out_dtype=None,
                  tr: int = 8, interpret: bool = False,
-                 out_layout: str = "cmid", compute_dtype=jnp.bfloat16):
+                 out_layout: str = "cmid", compute_dtype=jnp.bfloat16,
+                 out_scale=None):
     """Run the fused block0 kernel.
 
     Args:
@@ -232,21 +242,36 @@ def fused_block0(cviews, lviews, wt, bias, slope, out_dtype=None,
       compute_dtype: input/scratch dtype of the matmul (the config's
         compute dtype — fp32 configs must not silently degrade to bf16);
         the accumulate + epilogue are always fp32.
+      out_scale: when given, the output is quantized in-kernel at this
+        static activation scale (``clip(round(x / s))``) and returned as
+        int8 — the layout the int8s serving path's next conv consumes
+        directly (``models/quant.py::_qconv`` tuple input).
     Returns the block-0 output in the requested layout (``out_dtype``
-    defaults to ``compute_dtype``).
+    defaults to ``compute_dtype``; forced int8 under ``out_scale``).
     """
     B, Ho, _, Wo = cviews[0].shape
     f4 = wt.shape[0]
     f = f4 // 4
-    if out_dtype is None:
+    quant_out = out_scale is not None
+    if quant_out:
+        out_dtype = jnp.int8
+    elif out_dtype is None:
         out_dtype = compute_dtype
     nhwc_out = out_layout == "nhwc"
     grid = (B, (Ho + tr - 1) // tr)
-    kern = functools.partial(_kernel, tr=tr, f=f, nhwc_out=nhwc_out)
+    kern = functools.partial(_kernel, tr=tr, f=f, nhwc_out=nhwc_out,
+                             quant_out=quant_out)
     cspec = pl.BlockSpec((1, tr, 8, Wo), lambda b, t: (b, t, 0, 0))
     lspec = pl.BlockSpec((1, 4, tr, Wo), lambda b, t: (b, 0, t, 0))
     out_shape = (B, Ho, Wo, f) if nhwc_out else (B, Ho, f, Wo)
     out_block = (1, tr, Wo, f) if nhwc_out else (1, tr, f, Wo)
+    extra_specs = []
+    extra_args = []
+    if quant_out:
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        extra_args = [
+            (1.0 / jnp.asarray(out_scale, jnp.float32)).reshape(1, 1)
+        ]
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
@@ -255,7 +280,7 @@ def fused_block0(cviews, lviews, wt, bias, slope, out_dtype=None,
             pl.BlockSpec((f4, 64), lambda b, t: (0, 0)),
             pl.BlockSpec((f4, 1), lambda b, t: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec(out_block, lambda b, t: (b, t, 0, 0)),
         scratch_shapes=[pltpu.VMEM((64, tr * (-(-Wo // 128) * 128)),
                                    compute_dtype)],
@@ -266,6 +291,7 @@ def fused_block0(cviews, lviews, wt, bias, slope, out_dtype=None,
         jnp.asarray(wt, compute_dtype),
         jnp.asarray(bias, jnp.float32),
         jnp.asarray(slope, jnp.float32).reshape(1, 1),
+        *extra_args,
     )
     return out
 

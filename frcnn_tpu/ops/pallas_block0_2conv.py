@@ -134,17 +134,20 @@ def block0_2conv_weights_q_jnp(w1q):
 
 
 def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int,
-            quant: bool = False, zg: bool = True):
+            quant: bool = False, zg: bool = True, quant_out: bool = False):
     (cm, ct, cb, lm, lt, lb) = (refs[0:4], refs[4:8], refs[8:12],
                                 refs[12:16], refs[16:20], refs[20:24])
     wt0_ref, b0_ref, w1t_ref, b1_ref, slopes_ref = refs[24:29]
+    rest = refs[29:]
     if quant:
         # int8 conv1: per-(rx,out-channel) dequant scale column [2F, 1]
         # (= s_y * s_w[o]) and 1/s_y in SMEM for the conv0 epilogue quant
-        wscale_ref, inv_sy_ref = refs[29:31]
-        rest = refs[31:]
-    else:
-        rest = refs[29:]
+        wscale_ref, inv_sy_ref = rest[0:2]
+        rest = rest[2:]
+    if quant_out:
+        # in-kernel output quantization at the next conv's static scale
+        inv_out_ref = rest[0]
+        rest = rest[1:]
     if zg:
         # Group-ordered y0 scratch (see the module docstring's "zg layout"
         # note): ZG[(tr+2)*8F, ws]; no Y/S, no rolls.
@@ -309,6 +312,8 @@ def _kernel(*refs, tr: int, f: int, wo: int, nsteps: int,
             z = jnp.where(z >= 0.0, z, s1 * z)
             zm = jnp.maximum(z[:f], z[f:])
             m = zm if m is None else jnp.maximum(m, zm)
+        if quant_out:
+            m = jnp.clip(jnp.round(m * inv_out_ref[0, 0]), -127.0, 127.0)
         out_ref[0, r] = m[:, :wo].astype(out_ref.dtype)
 
 
@@ -324,7 +329,7 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
                        interpret: bool = False,
                        compute_dtype=jnp.bfloat16,
                        w1_scales=None, act_scale=None,
-                       layout: str = "zg"):
+                       layout: str = "zg", out_scale=None):
     """Run the fused 2-conv block0 kernel.
 
     Args:
@@ -358,7 +363,10 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
     f4 = wt0.shape[0]
     f = f4 // 4
     quant = w1_scales is not None and act_scale is not None
-    if out_dtype is None:
+    quant_out = out_scale is not None
+    if quant_out:
+        out_dtype = jnp.int8
+    elif out_dtype is None:
         out_dtype = compute_dtype
     if tr is None:
         # roll layout: bf16 conv1 doubles the Y/S scratch footprint vs
@@ -377,7 +385,8 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
     lviews_rm = [v.astype(compute_dtype).transpose(0, 2, 1, 3)
                  for v in lviews]
     kern = functools.partial(_kernel, tr=tr, f=f, wo=Wo, nsteps=nsteps,
-                             quant=quant, zg=(layout == "zg"))
+                             quant=quant, zg=(layout == "zg"),
+                             quant_out=quant_out)
 
     cmain = pl.BlockSpec((1, tr, 8, Wo), lambda b, t: (b, t, 0, 0))
     lmain = pl.BlockSpec((1, tr, 4, Wo), lambda b, t: (b, t, 0, 0))
@@ -414,6 +423,11 @@ def fused_block0_2conv(cviews, lviews, wt0, bias0, slope0, w1t, bias1,
         extra_args = [
             wscale,
             (1.0 / jnp.asarray(act_scale, jnp.float32)).reshape(1, 1),
+        ]
+    if quant_out:
+        extra_specs = extra_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        extra_args = extra_args + [
+            (1.0 / jnp.asarray(out_scale, jnp.float32)).reshape(1, 1)
         ]
     out = pl.pallas_call(
         kern,

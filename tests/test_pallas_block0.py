@@ -166,3 +166,28 @@ def test_block0_kernel_fp32_compute():
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_block0_kernel_s8_out():
+    """out_scale: the kernel quantizes in-register; result must equal
+    quantizing the kernel's own float output at the same scale (up to the
+    1-lsb flips bf16-input rounding can cause near .5 boundaries)."""
+    H, W = 26, 40
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, H, W, 3)).astype(np.float32))
+    w = rng.normal(0, 0.2, (3, 3, 3, 64)).astype(np.float32)
+    b = rng.normal(0, 0.1, (64,)).astype(np.float32)
+    slope = 0.25
+    lum4, chroma = pack_s2d(x)
+    cviews, lviews = views_from_s2d(lum4, chroma)
+    wt, bias = block0_weights(w, b)
+    ref = fused_block0(cviews, lviews, wt, bias, slope, interpret=True,
+                       out_dtype=jnp.float32)
+    s = float(jnp.max(jnp.abs(ref))) / 127.0
+    expect = np.clip(np.round(np.asarray(ref, np.float64) / s), -127, 127)
+    got = fused_block0(cviews, lviews, wt, bias, slope, interpret=True,
+                       out_scale=s)
+    assert got.dtype == jnp.int8
+    diff = np.abs(np.asarray(got, np.int32) - expect.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01

@@ -383,3 +383,38 @@ def test_s2d_2conv_detect_path_matches_nhwc():
     np.testing.assert_allclose(np.asarray(o_s2d.confidence)[v],
                                np.asarray(o_ref.confidence)[v],
                                rtol=0.05, atol=0.01)
+
+
+def test_block0_2conv_kernel_s8_out():
+    """out_scale on the 2-conv kernel: int8 output equals quantizing the
+    kernel's float output at the same scale (1-lsb tolerance for rounding
+    boundary flips)."""
+    import jax.numpy as jnp
+    from frcnn_tpu.ops.pallas_block0 import (
+        block0_weights, pack_s2d, views_from_s2d,
+    )
+    from frcnn_tpu.ops.pallas_block0_2conv import (
+        block0_2conv_weights, fused_block0_2conv,
+    )
+
+    H, W = 20, 32
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (1, H, W, 3)).astype(np.float32))
+    w0 = rng.normal(0, 0.2, (3, 3, 3, 16)).astype(np.float32)
+    b0 = rng.normal(0, 0.1, (16,)).astype(np.float32)
+    w1 = rng.normal(0, 0.2, (3, 3, 16, 16)).astype(np.float32)
+    b1 = rng.normal(0, 0.1, (16,)).astype(np.float32)
+    lum4, chroma = pack_s2d(x)
+    cviews, lviews = views_from_s2d(lum4, chroma)
+    wt0, bias0 = block0_weights(w0, b0)
+    w1t = block0_2conv_weights(w1)
+    ref = fused_block0_2conv(cviews, lviews, wt0, bias0, 0.25, w1t, b1,
+                             0.25, interpret=True, out_dtype=jnp.float32)
+    s = float(jnp.max(jnp.abs(ref))) / 127.0
+    expect = np.clip(np.round(np.asarray(ref, np.float64) / s), -127, 127)
+    got = fused_block0_2conv(cviews, lviews, wt0, bias0, 0.25, w1t, b1,
+                             0.25, interpret=True, out_scale=s)
+    assert got.dtype == jnp.int8
+    diff = np.abs(np.asarray(got, np.int32) - expect.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01

@@ -273,3 +273,35 @@ def test_pool_s8_exact_vs_default_order(setup):
     np.testing.assert_allclose(
         np.asarray(ref_fm), np.asarray(got_fm), atol=s_fm * 0.5 + 1e-6
     )
+
+
+def test_s2d_pool_s8_chain_close_to_default(setup):
+    """Full s8 chain (s2d fused block0 emitting int8 + s8-pooled blocks):
+    anchor maps must track the default int8s+s2d path — the only deltas
+    are bf16-vs-f32 rounding ahead of each quantize."""
+    cfg, pnet, params, qparams = setup
+    from frcnn_tpu.detect.detector import (
+        calibrate_quantized_pnet,
+        compute_s2d_block0,
+    )
+    from frcnn_tpu.ops.pallas_block0 import pack_s2d_np
+
+    scfg = cfg.replace(pallas_mode="interpret", input_layout="s2d")
+    H, W = cfg.shapes.image_hw
+    rng = np.random.default_rng(9)
+    calib = rng.normal(0, 0.5, (2, H, W, 3)).astype(np.float32)
+    lum4, chroma = pack_s2d_np(calib)
+    lum4, chroma = jnp.asarray(lum4), jnp.asarray(chroma)
+
+    outs = {}
+    for pool_s8 in (False, True):
+        adapter = QuantizedPNetAdapter(
+            scfg.model, qparams, act_dtype=jnp.float32, pool_s8=pool_s8
+        )
+        calibrate_quantized_pnet(scfg, adapter, params, calib)
+        b0 = compute_s2d_block0(scfg, adapter, params["pnet"], lum4, chroma)
+        assert isinstance(b0, tuple) == pool_s8
+        outs[pool_s8] = adapter.apply({}, None, block0_out=b0)
+
+    for mr, mg in zip(outs[False][0], outs[True][0]):
+        assert _cos(np.asarray(mr), np.asarray(mg)) > 0.999
