@@ -280,7 +280,8 @@ def main():
     # fails on the current backend). Accuracy of every fast mode vs bf16:
     # docs/accuracy/quant_parity_tiny2500.json.
     mode = sys.argv[3] if len(sys.argv) > 3 else "best"
-    chain = (["int8s+pallas+s2d", "int8s+pallas", "int8s", "bf16"]
+    chain = (["int8s+pallas+s2d+s8p", "int8s+pallas+s2d", "int8s+pallas",
+              "int8s", "bf16"]
              if mode == "best" else [mode])
 
     ok, err = backend_healthcheck()

@@ -402,7 +402,11 @@ def serving_config(base: Config = None, **overrides) -> Config:
     # ops/pallas_block0_2conv.py); anything else gets the Pallas NMS/pool
     # kernels without the s2d input layout
     cfg = cfg.replace(pallas_mode="on",
-                      input_layout="s2d" if s2d_ok else "nhwc")
+                      input_layout="s2d" if s2d_ok else "nhwc",
+                      # s8-pooled int8 chain: +8.2% e2e measured (1152.9 ->
+                      # 1246.9 img/s, same-window A/B, docs/
+                      # tpu_results_r05.log); exact vs the default order
+                      quant_pool_s8=True)
     return cfg.replace(**overrides) if overrides else cfg
 
 

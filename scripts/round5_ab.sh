@@ -48,14 +48,15 @@ for i in $(seq 1 70); do
   fi
 done
 
-record(){ # record NAME JSON_LINE
+record(){ # record NAME JSON_LINE -> rc 0 only for a CLEAN measurement
   local name=$1 json=$2
   [ -n "$json" ] || { log "$name: no JSON"; return 1; }
   echo "$json" >> "$LOG"
-  if ! echo "$json" | grep -q '"error"'; then
-    echo "$json" >> scripts/tpu_results.log
-    echo "$json" >> docs/tpu_results_r05.log
+  if echo "$json" | grep -q '"error"'; then
+    log "$name: errored measurement (no marker)"; return 1
   fi
+  echo "$json" >> scripts/tpu_results.log
+  echo "$json" >> docs/tpu_results_r05.log
 }
 
 ab(){ # ab NAME BATCH ITERS MODE
@@ -63,7 +64,7 @@ ab(){ # ab NAME BATCH ITERS MODE
   [ -f "runs/r5ab/$name.done" ] && { log "skip $name"; return 0; }
   log "start $name: bench $b $it $mode"
   local out
-  out=$(timeout 2400 env FRCNN_BENCH_HEALTH_ATTEMPTS=1 python bench.py "$b" "$it" "$mode" 2>>"$LOG")
+  out=$(timeout 2400 env FRCNN_BENCH_HEALTH_ATTEMPTS=0 python bench.py "$b" "$it" "$mode" 2>>"$LOG")
   record "$name" "$(echo "$out" | grep '^{"metric"' | tail -1)" \
     && touch "runs/r5ab/$name.done"
 }
