@@ -103,6 +103,12 @@ def main():
             quantized=True, quant_calibration=calib)),
         "int8_static_s2d": dict(cfg=scfg, kw=dict(
             quantized=True, quant_calibration=calib)),
+        # the shipped serving default (round 5): + s8-pooled chain with
+        # the s8-emitting block0 kernel — exact reorder of the quantize,
+        # so any delta vs int8_static_s2d is fm-rounding noise
+        "int8_static_s2d_s8p": dict(cfg=scfg.replace(quant_pool_s8=True),
+                                    kw=dict(quantized=True,
+                                            quant_calibration=calib)),
     }
     default_modes = ["bf16", "int8_dynamic", "int8_static", "int8_static_s2d"]
     selected = (args.modes.split(",") if args.modes else default_modes)
