@@ -213,10 +213,21 @@ fi
 #    attribution).
 PCK=$(best_ckpt runs/acc_photo)
 if [ -n "${PCK:-}" ]; then
+  # final-session mode set: int8_dynamic dropped (adjudicated in r4),
+  # serving-default s8-pooled chain added (what bench best/serving ship)
   stage parity_r5 14400 python scripts/eval_quant_parity.py \
     --run runs/acc_photo --scale photo --eval-count 240 \
-    --modes bf16,int8_dynamic,int8_static,int8_static_s2d \
+    --modes bf16,int8_static,int8_static_s2d,int8_static_s2d_s8p \
     --ckpt "$PCK" --out quant_parity_r5.json
+fi
+publish
+
+# 5. vgg_large imagenet-envelope fwd breakdown (VERDICT-r4 #5) — promoted
+#    above gate sweep / recall attribution for the final short session.
+stage large_fwdparts 7200 env FRCNN_PROFILE_HW=480x1000 \
+  python scripts/profile_detect.py 16 40 fwdparts mode=int8s+large
+
+if [ -n "${PCK:-}" ]; then
   stage gate_sweep_r5 7200 python scripts/sweep_conf_gate.py \
     --run runs/acc_photo --scale photo --eval-count 240 --ckpt "$PCK"
   stage recall_attr_r5 14400 python scripts/recall_attribution.py \
@@ -271,10 +282,6 @@ if [ -f runs/acc_imagenet_r4/partial.ckpt ] || [ -f runs/acc_imagenet_r4/final.c
   fi
 fi
 publish
-
-# 5. vgg_large imagenet-envelope fwd breakdown (VERDICT-r4 #5).
-stage large_fwdparts 7200 env FRCNN_PROFILE_HW=480x1000 \
-  python scripts/profile_detect.py 16 40 fwdparts mode=int8s+large
 
 publish
 log "=== round5 queue COMPLETE ==="
